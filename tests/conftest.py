@@ -1,0 +1,30 @@
+"""Test configuration: force a virtual multi-device CPU platform + f64.
+
+Multi-chip sharding is validated on an 8-device CPU mesh (the reference can
+only test multi-rank behavior on the LUMI cluster itself — SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+REF = "/root/reference/structures/5nm_device"
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running golden/integration tests")
+
+
+@pytest.fixture(scope="session")
+def ref_5nm_dir():
+    if not os.path.isdir(REF):
+        pytest.skip("5nm reference structure not available")
+    return REF
