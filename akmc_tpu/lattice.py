@@ -155,13 +155,17 @@ def build_neighbor_list(
     lattice: Optional[Sequence[float]] = None,
     pbc: bool = False,
     block: int = 2048,
+    strict: bool = True,
 ) -> np.ndarray:
     """Padded ELL neighbor table: for each site i, ascending indices j with
-    dist(i,j) < nn_dist, truncated at ``max_num_neighbors``, padded with -1.
+    dist(i,j) < nn_dist, padded with -1 up to ``max_num_neighbors``.
 
     Matches populate_neighbor_list (neighbor_lists_gpu.cu:55-78): the reference
     kernel uses the NON-PBC distance; pass ``pbc=False`` for parity. Index order
     is ascending j, as in the reference's j-loop.
+
+    ``strict=True`` raises if any site exceeds ``max_num_neighbors`` (the
+    reference silently truncates — pass strict=False to reproduce that).
     """
     n = pos.shape[0]
     out = np.full((n, max_num_neighbors), -1, dtype=np.int32)
@@ -172,7 +176,14 @@ def build_neighbor_list(
         mask = d < nn_dist
         mask[np.arange(len(rows)), rows] = False
         for r_local, i in enumerate(rows):
-            js = np.nonzero(mask[r_local])[0][:max_num_neighbors]
+            js = np.nonzero(mask[r_local])[0]
+            if strict and len(js) > max_num_neighbors:
+                raise ValueError(
+                    f"site {i} has {len(js)} neighbors > max_num_neighbors="
+                    f"{max_num_neighbors}; raise the cap (reference would "
+                    f"silently truncate, Device.cpp:59)"
+                )
+            js = js[:max_num_neighbors]
             out[i, : len(js)] = js
     return out
 

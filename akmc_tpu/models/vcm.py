@@ -1,0 +1,231 @@
+"""The flagship model: a valence-change-memory (VCM) RRAM device.
+
+Couples the physics modules into ONE jitted KMC superstep over static-shape
+arrays (reference equivalent: the module sequence in kmc_main.cpp:328-540):
+
+    charge update -> K-system CG potential -> pairwise Coulomb potential
+    -> potential sum -> fused residence-time KMC event loop
+
+plus the per-bias-point CB-edge solve and the (optional) current/power and
+heating updates.
+
+``VCMModel`` owns all static tables (adjacency, distances, layer/metal
+masks) as device arrays; ``DeviceState`` carries the dynamic fields.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from akmc_tpu.config import KMCParameters
+from akmc_tpu.lattice import ELEM, Lattice, metal_mask
+from akmc_tpu.ops.charge import update_charge
+from akmc_tpu.ops.events import EventLoopResult, build_event_table, run_event_loop
+from akmc_tpu.ops.pairwise import pairwise_potential
+from akmc_tpu.rng import ReferenceRNG
+from akmc_tpu.solvers.poisson import solve_cb_edge, solve_potential_boundary
+from akmc_tpu.state import DeviceState
+
+
+class FieldsResult(NamedTuple):
+    charge: jax.Array
+    potential_boundary: jax.Array
+    potential_sum: jax.Array        # pairwise + boundary (site_potential_charge)
+    P: jax.Array                    # (N, NN) event rates
+    etype: jax.Array                # (N, NN) event types
+    cg_iterations: jax.Array
+
+
+@dataclass
+class VCMModel:
+    """Static data + jitted physics for one device structure."""
+
+    params: KMCParameters
+    lat: Lattice
+
+    # device arrays (filled in __post_init__)
+    pos: jax.Array = field(init=False)
+    neigh_idx: jax.Array = field(init=False)
+    k_neigh_idx: jax.Array = field(init=False)
+    cutoff_idx: jax.Array = field(init=False)
+    dist_nn: jax.Array = field(init=False)           # [m], non-PBC (events)
+    layer_nbr: jax.Array = field(init=False)
+    any_metal_nbr: jax.Array = field(init=False)
+    metal_edge: jax.Array = field(init=False)        # metal_i & metal_j on K adjacency
+    metal_or_edge: jax.Array = field(init=False)     # metal_i | metal_j (CB system)
+    is_metal: jax.Array = field(init=False)
+    E_gen: jax.Array = field(init=False)
+    E_rec: jax.Array = field(init=False)
+    E_Vdiff: jax.Array = field(init=False)
+    E_Odiff: jax.Array = field(init=False)
+
+    def __post_init__(self):
+        p, lat = self.params, self.lat
+        f64 = jnp.float64
+
+        pos_np = np.stack([lat.x, lat.y, lat.z], axis=1)
+        self.pos = jnp.asarray(pos_np, f64)
+        self.neigh_idx = jnp.asarray(lat.neigh_idx, jnp.int32)
+        self.k_neigh_idx = jnp.asarray(lat.k_neigh_idx, jnp.int32)
+        self.cutoff_idx = jnp.asarray(lat.cutoff_idx, jnp.int32)
+
+        # neighbor distances for event self-interaction terms: non-PBC
+        # Euclidean, in meters (kmc_events.cu:154-155); padded slots -> 1.0
+        jc = np.clip(lat.neigh_idx, 0, None)
+        d = np.sqrt(((pos_np[:, None, :] - pos_np[jc]) ** 2).sum(-1)) * 1e-10
+        d[lat.neigh_idx < 0] = 1.0
+        self.dist_nn = jnp.asarray(d, f64)
+
+        self.layer_nbr = jnp.asarray(lat.site_layer[jc], jnp.int32)
+
+        is_metal_np = metal_mask(lat.element0, p.metals)
+        self.is_metal = jnp.asarray(is_metal_np)
+        nbr_metal = is_metal_np[jc] & (lat.neigh_idx >= 0)
+        self.any_metal_nbr = jnp.asarray(nbr_metal.any(axis=1))
+
+        kjc = np.clip(lat.k_neigh_idx, 0, None)
+        self.metal_edge = jnp.asarray(
+            is_metal_np[:, None] & is_metal_np[kjc] & (lat.k_neigh_idx >= 0)
+        )
+        self.metal_or_edge = jnp.asarray(
+            (is_metal_np[:, None] | is_metal_np[kjc]) & (lat.k_neigh_idx >= 0)
+        )
+
+        self.E_gen = jnp.asarray([l.E_gen_0 for l in p.layers], f64)
+        self.E_rec = jnp.asarray([l.E_rec_1 for l in p.layers], f64)
+        self.E_Vdiff = jnp.asarray([l.E_diff_2 for l in p.layers], f64)
+        self.E_Odiff = jnp.asarray([l.E_diff_3 for l in p.layers], f64)
+
+        self._fields_jit = jax.jit(self._fields)
+        self._events_jit = jax.jit(self._events)
+        self._cb_jit = jax.jit(self._cb)
+
+    # ------------------------------------------------------------------
+    def _fields(self, element, charge, potential_boundary_prev, T_bg, Vd):
+        p = self.params
+        charge = update_charge(element, charge, self.neigh_idx, self.any_metal_nbr)
+
+        pot_boundary, cg = solve_potential_boundary(
+            element,
+            charge,
+            potential_boundary_prev,
+            self.k_neigh_idx,
+            self.metal_edge,
+            Vd,
+            p.high_G,
+            p.low_G,
+            p.num_atoms_first_layer,
+        )
+
+        pot_pair = pairwise_potential(
+            self.pos, charge, self.cutoff_idx, p.sigma, p.k
+        )
+        pot_sum = pot_pair + pot_boundary   # sum_AB_into_A (psg.cu:1130-1151)
+
+        P, etype = build_event_table(
+            element,
+            charge,
+            pot_sum,
+            T_bg,
+            self.neigh_idx,
+            self.dist_nn,
+            self.layer_nbr,
+            self.E_gen,
+            self.E_rec,
+            self.E_Vdiff,
+            self.E_Odiff,
+            p.freq,
+            p.sigma,
+            p.k,
+        )
+        return FieldsResult(
+            charge=charge,
+            potential_boundary=pot_boundary,
+            potential_sum=pot_sum,
+            P=P,
+            etype=etype,
+            cg_iterations=cg.iterations,
+        )
+
+    def _events(self, element, charge, P, etype, rand_buf, event_time_in):
+        return run_event_loop(
+            element,
+            charge,
+            P,
+            etype,
+            self.neigh_idx,
+            rand_buf,
+            self.params.freq,
+            event_time_in=event_time_in,
+        )
+
+    def _cb(self, element, charge, cb_prev, Vd):
+        p = self.params
+        return solve_cb_edge(
+            element,
+            charge,
+            cb_prev,
+            self.k_neigh_idx,
+            self.metal_or_edge,
+            Vd,
+            p.high_G * 100000,
+            p.low_G,
+            p.num_atoms_first_layer,
+        )
+
+    # ------------------------------------------------------------------
+    def superstep(
+        self,
+        state: DeviceState,
+        Vd: float,
+        stream,
+        rand_chunk: int = 8192,
+    ) -> Tuple[DeviceState, dict]:
+        """One full KMC superstep. Returns the new state and a stats dict.
+
+        The field solves + rate build run as one jitted graph; the event loop
+        runs as a second jitted while_loop, re-entered only if the
+        (host-precomputed, replicated-stream) rand buffer runs out.
+        ``stream`` is a ``rng.BufferedStream`` over the KMC mt19937 stream.
+        """
+        p = self.params
+        fr = self._fields_jit(
+            state.element, state.charge, state.potential_boundary, state.T_bg, Vd
+        )
+
+        element, charge, P = state.element, fr.charge, fr.P
+        n_events = 0
+        ev_time = jnp.asarray(0.0, jnp.float64)
+        done = False
+        while not done:
+            rand_buf = jnp.asarray(stream.peek(rand_chunk))
+            res = self._events_jit(element, charge, P, fr.etype, rand_buf, ev_time)
+            element, charge, P = res.element, res.charge, res.P
+            n_events += int(res.n_events)
+            ev_time = res.event_time
+            done = bool(res.done)
+            stream.advance(int(res.draws_used))
+
+        new_state = state._replace(
+            element=element,
+            charge=charge,
+            potential_boundary=fr.potential_boundary,
+            potential_charge=fr.potential_sum,
+            kmc_time=state.kmc_time + res.event_time,
+        )
+        stats = {
+            "n_events": n_events,
+            "event_time": float(res.event_time),
+            "cg_iterations": int(fr.cg_iterations),
+        }
+        return new_state, stats
+
+    def update_cb_edge(self, state: DeviceState, Vd: float) -> DeviceState:
+        cb, _ = self._cb_jit(state.element, state.charge, state.cb_edge, Vd)
+        return state._replace(cb_edge=cb)

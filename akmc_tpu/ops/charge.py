@@ -1,0 +1,45 @@
+"""Site-charge assignment from local neighborhood rules.
+
+Reference: the ``update_charge`` kernel (potential_solver_gpu.cu:12-63):
+  * VACANCY sites get +2, demoted to 0 if they have >= 2 vacancy neighbors
+    or any metallic neighbor;
+  * OXYGEN_DEFECT sites get -2, demoted to 0 if they have any metallic
+    neighbor;
+  * all other sites keep their current charge (events manage it).
+
+TPU realization: one vectorized gather over the padded ELL neighbor table +
+``where`` selects — no per-site loops, no Allgatherv (the charge vector is
+computed for all rows; under a mesh the row dimension shards and XLA inserts
+the all-gather where consumers need the full vector).
+
+The metal-neighbor predicate is STATIC: metallic sites never transform
+(events only touch d/O/V/Od sites), so ``any_metal_nbr`` is precomputed once.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from akmc_tpu.lattice import ELEM
+
+
+def update_charge(
+    element: jnp.ndarray,        # (N,) int32
+    charge: jnp.ndarray,         # (N,) int32 current charges
+    neigh_idx: jnp.ndarray,      # (N, NN) int32, -1 padded
+    any_metal_nbr: jnp.ndarray,  # (N,) bool, static
+) -> jnp.ndarray:
+    valid = neigh_idx >= 0
+    nbr_elem = element[neigh_idx.clip(0)]
+
+    vac_nbrs = jnp.sum(valid & (nbr_elem == int(ELEM.VACANCY)), axis=1)
+
+    is_v = element == int(ELEM.VACANCY)
+    is_od = element == int(ELEM.OXYGEN_DEFECT)
+
+    v_charge = jnp.where(any_metal_nbr | (vac_nbrs >= 2), 0, 2)
+    od_charge = jnp.where(any_metal_nbr, 0, -2)
+
+    return jnp.where(
+        is_v, v_charge, jnp.where(is_od, od_charge, charge)
+    ).astype(charge.dtype)

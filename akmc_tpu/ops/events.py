@@ -1,0 +1,272 @@
+"""KMC event engine: rate-table build + fused residence-time loop.
+
+Reference: kmc_events.cu. The reference builds the (site, neighbor-slot) rate
+table on GPU (build_event_list_split, kmc_events.cu:130-229) but runs the
+rejection-free residence-time algorithm as a host-orchestrated loop with a
+full-table scan, a D2H copy, an MPI_Allgather, a host RNG draw and an
+MPI_Bcast PER EXECUTED EVENT (execute_kmc_step_mpi, kmc_events.cu:333-563).
+
+TPU realization — the single biggest structural win of the rebuild:
+  * the whole residence-time loop is ONE ``lax.while_loop`` on device;
+  * selection draws come from a precomputed buffer of the replicated host
+    mt19937 stream (bit-parity mode) or an on-device threefry stream;
+  * selection is two-level (cumsum over per-site rate sums, then within the
+    row) — mathematically identical to the reference's flat
+    inclusive_scan + upper_bound;
+  * after an event, only the <= 2 + 2*NN affected rows are rewritten
+    (gather/scatter) instead of re-scanning the full N*NN table — the
+    reference's zero-out semantics (zero_out_events_split,
+    kmc_events.cu:247-266) at O(NN^2) instead of O(N*NN) cost per event.
+
+Committed-path quirks preserved (kmc_events.cu:448-516):
+  * the loop runs while the LAST single-event waiting time < 1/freq,
+  * each iteration executes an event first and draws its waiting time after,
+  * the returned event_time is the final (loop-breaking) waiting time, which
+    the driver adds to kmc_time.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from akmc_tpu.config import KB_EV, Q_C
+from akmc_tpu.lattice import ELEM, EVENT
+
+_EPS_OVERFLOW = 1e-200   # exponential overflow guard (kmc_events.cu:150)
+
+
+def v_solve(d: jnp.ndarray, charge, sigma, k) -> jnp.ndarray:
+    """Screened point-charge potential [V]; d in meters
+    (v_solve_gpu, gpu_solvers.h:321-327)."""
+    from jax.scipy.special import erfc
+
+    return (
+        charge
+        * erfc(d / (sigma * jnp.sqrt(jnp.asarray(2.0, d.dtype))))
+        * k
+        * Q_C
+        / d
+    )
+
+
+def build_event_table(
+    element: jnp.ndarray,        # (N,) int32
+    charge: jnp.ndarray,         # (N,) int32
+    potential: jnp.ndarray,      # (N,) f64 summed site potential [V]
+    T_bg: jnp.ndarray,           # () f64 [K]
+    neigh_idx: jnp.ndarray,      # (N, NN) int32, -1 padded
+    dist_nn: jnp.ndarray,        # (N, NN) f64 neighbor distances [m] (static)
+    layer_nbr: jnp.ndarray,      # (N, NN) int32 layer id of neighbor (static)
+    E_gen: jnp.ndarray,          # (num_layers,) f64 [eV] per-layer energies
+    E_rec: jnp.ndarray,
+    E_Vdiff: jnp.ndarray,
+    E_Odiff: jnp.ndarray,
+    freq: float,
+    sigma: float,
+    k: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rates P (N, NN) f64 and event types (N, NN) int32.
+
+    Reference: build_event_list_split (kmc_events.cu:130-229). Distances are
+    NON-PBC (kmc_events.cu:154-155); field term E from the summed potential;
+    P = freq / (exp(EA / kB T_bg) + 1e-200).
+    """
+    valid = neigh_idx >= 0
+    j = neigh_idx.clip(0)
+
+    ei = element[:, None]
+    ej = element[j]
+    qi = charge[:, None].astype(potential.dtype)
+    qj = charge[j].astype(potential.dtype)
+    phi = potential[:, None] - potential[j]
+
+    is_gen = (ei == int(ELEM.DEFECT)) & (ej == int(ELEM.O))
+    is_rec = (ei == int(ELEM.OXYGEN_DEFECT)) & (ej == int(ELEM.VACANCY))
+    is_vdiff = (ei == int(ELEM.VACANCY)) & (ej == int(ELEM.O))
+    is_odiff = (ei == int(ELEM.OXYGEN_DEFECT)) & (ej == int(ELEM.DEFECT))
+
+    self_2 = v_solve(dist_nn, 2.0, sigma, k)            # |charge| = 2 kernel
+    self_qi = v_solve(dist_nn, qi, sigma, k)
+
+    # zero-field activation energies by the NEIGHBOR's layer
+    # (kmc_events.cu:162, 178, 199, 217)
+    Eg = E_gen[layer_nbr]
+    Er = E_rec[layer_nbr]
+    Ev = E_Vdiff[layer_nbr]
+    Eo = E_Odiff[layer_nbr]
+
+    cs = qi - qj
+    E_gen_t = 2.0 * phi
+    E_rec_t = cs * (phi + (cs / 2.0) * self_2)
+    E_vdiff_t = cs * (phi + jnp.where(qi != 0, self_qi, 0.0))
+    E_odiff_t = cs * (phi - jnp.where(qi != 0, self_2, 0.0))
+
+    EA = jnp.where(
+        is_gen, Eg - E_gen_t,
+        jnp.where(
+            is_rec, Er - E_rec_t,
+            jnp.where(is_vdiff, Ev - E_vdiff_t, Eo - E_odiff_t),
+        ),
+    )
+
+    any_event = (is_gen | is_rec | is_vdiff | is_odiff) & valid
+    kT = KB_EV * T_bg
+    P = freq * (1.0 / (jnp.exp(EA / kT) + _EPS_OVERFLOW))
+    P = jnp.where(any_event, P, 0.0)
+
+    etype = jnp.where(
+        is_gen, int(EVENT.VACANCY_GENERATION),
+        jnp.where(
+            is_rec, int(EVENT.VACANCY_RECOMBINATION),
+            jnp.where(
+                is_vdiff, int(EVENT.VACANCY_DIFFUSION),
+                jnp.where(is_odiff, int(EVENT.ION_DIFFUSION), int(EVENT.NULL_EVENT)),
+            ),
+        ),
+    )
+    etype = jnp.where(any_event, etype, int(EVENT.NULL_EVENT)).astype(jnp.int32)
+    return P, etype
+
+
+def _execute_event(element, charge, isel, jsel, etype):
+    """Apply the element/charge mutation of an executed event
+    (execute_event, kmc_events.cu:292-331)."""
+    ei = element[isel]
+    ej = element[jsel]
+    qi = charge[isel]
+    qj = charge[jsel]
+
+    gen = etype == int(EVENT.VACANCY_GENERATION)
+    rec = etype == int(EVENT.VACANCY_RECOMBINATION)
+    swap = (etype == int(EVENT.VACANCY_DIFFUSION)) | (
+        etype == int(EVENT.ION_DIFFUSION)
+    )
+
+    new_ei = jnp.where(
+        gen, int(ELEM.OXYGEN_DEFECT), jnp.where(rec, int(ELEM.DEFECT), jnp.where(swap, ej, ei))
+    )
+    new_ej = jnp.where(
+        gen, int(ELEM.VACANCY), jnp.where(rec, int(ELEM.O), jnp.where(swap, ei, ej))
+    )
+    new_qi = jnp.where(gen, -2, jnp.where(rec, 0, jnp.where(swap, qj, qi)))
+    new_qj = jnp.where(gen, 2, jnp.where(rec, 0, jnp.where(swap, qi, qj)))
+
+    element = element.at[isel].set(new_ei.astype(element.dtype))
+    element = element.at[jsel].set(new_ej.astype(element.dtype))
+    charge = charge.at[isel].set(new_qi.astype(charge.dtype))
+    charge = charge.at[jsel].set(new_qj.astype(charge.dtype))
+    return element, charge
+
+
+class EventLoopResult(NamedTuple):
+    element: jnp.ndarray
+    charge: jnp.ndarray
+    P: jnp.ndarray            # mutated rate table (for chunk resumption)
+    event_time: jnp.ndarray   # final (loop-breaking) waiting time [s]
+    n_events: jnp.ndarray     # int32 events executed in this chunk
+    draws_used: jnp.ndarray   # int32 rands consumed
+    done: jnp.ndarray         # bool: superstep finished (vs. buffer exhausted)
+
+
+def run_event_loop(
+    element: jnp.ndarray,
+    charge: jnp.ndarray,
+    P: jnp.ndarray,            # (N, NN) rate table (consumed/mutated)
+    etype: jnp.ndarray,        # (N, NN) int32 event types
+    neigh_idx: jnp.ndarray,    # (N, NN) int32
+    rand_buf: jnp.ndarray,     # (2*max_events,) f64 uniform draws
+    freq: float,
+    event_time_in=None,        # carry when resuming an exhausted chunk
+) -> EventLoopResult:
+    """Fused residence-time loop (execute_kmc_step_mpi, kmc_events.cu:430-528).
+
+    Runs until the latest single-event waiting time exceeds 1/freq, or the
+    rand buffer is exhausted (the host then refills and resumes — only
+    happens in bit-parity mode with very active supersteps).
+    """
+    n, nn = P.shape
+    buf_len = rand_buf.shape[0]
+    inv_freq = 1.0 / freq
+
+    R0 = jnp.sum(P, axis=1)
+    t0 = (
+        jnp.asarray(0.0, P.dtype)
+        if event_time_in is None
+        else jnp.asarray(event_time_in, P.dtype)
+    )
+
+    def cond(c):
+        element, charge, P, R, cnt, ev_time, n_ev = c
+        return (ev_time < inv_freq) & (cnt + 2 <= buf_len)
+
+    def body(c):
+        element, charge, P, R, cnt, ev_time, n_ev = c
+
+        cum = jnp.cumsum(R)
+        total = cum[-1]
+
+        r_sel = rand_buf[cnt]
+        target = r_sel * total
+
+        site = jnp.searchsorted(cum, target, side="right").astype(jnp.int32)
+        site = jnp.clip(site, 0, n - 1)
+        prev = jnp.where(site > 0, cum[site - 1], 0.0)
+        row = P[site]
+        rowcum = jnp.cumsum(row)
+        slot = jnp.searchsorted(rowcum, target - prev, side="right").astype(jnp.int32)
+        slot = jnp.clip(slot, 0, nn - 1)
+
+        isel = site
+        jsel = neigh_idx[site, slot].clip(0)
+        ety = etype[site, slot]
+
+        ok = total > 0.0
+
+        element2, charge2 = _execute_event(element, charge, isel, jsel, ety)
+        element = jnp.where(ok, element2, element)
+        charge = jnp.where(ok, charge2, charge)
+
+        # zero out all pairs involving isel or jsel — only rows that can
+        # contain such pairs: the two sites + their neighbor rows
+        ar = jnp.concatenate(
+            [jnp.stack([isel, jsel]), neigh_idx[isel].clip(0), neigh_idx[jsel].clip(0)]
+        )                                                   # (2 + 2*NN,)
+        rows_P = P[ar]
+        rows_nbr = neigh_idx[ar]
+        kill = (
+            (ar == isel)[:, None]
+            | (ar == jsel)[:, None]
+            | (rows_nbr == isel)
+            | (rows_nbr == jsel)
+        )
+        new_rows = jnp.where(kill & ok, 0.0, rows_P)
+        P = P.at[ar].set(new_rows)
+        R = R.at[ar].set(jnp.sum(new_rows, axis=1))
+
+        r_time = rand_buf[cnt + 1]
+        ev_time = jnp.where(ok, -jnp.log(r_time) / total, jnp.inf)
+        return (element, charge, P, R, cnt + 2, ev_time, n_ev + 1)
+
+    init = (
+        element,
+        charge,
+        P,
+        R0,
+        jnp.asarray(0, jnp.int32),
+        t0,
+        jnp.asarray(0, jnp.int32),
+    )
+    element, charge, P, R, cnt, ev_time, n_ev = lax.while_loop(cond, body, init)
+    return EventLoopResult(
+        element=element,
+        charge=charge,
+        P=P,
+        event_time=ev_time,
+        n_events=n_ev,
+        draws_used=cnt,
+        done=ev_time >= inv_freq,
+    )

@@ -101,3 +101,28 @@ class ReferenceRNG:
 
     def one(self) -> float:
         return float(self.uniform(1)[0])
+
+
+class BufferedStream:
+    """Peek/advance view over a uniform stream.
+
+    The fused device event loop receives a buffer of pre-generated draws but
+    may consume fewer (the loop terminates data-dependently). ``peek``
+    returns a lookahead window without consuming; ``advance`` commits the
+    number of draws the device loop actually used, keeping the host stream
+    position exactly in sync with the reference's draw-per-event accounting.
+    """
+
+    def __init__(self, rng: ReferenceRNG):
+        self._rng = rng
+        self._buf = np.empty(0, dtype=np.float64)
+
+    def peek(self, n: int) -> np.ndarray:
+        if len(self._buf) < n:
+            extra = self._rng.uniform(n - len(self._buf))
+            self._buf = np.concatenate([self._buf, extra])
+        return self._buf[:n]
+
+    def advance(self, k: int) -> None:
+        assert k <= len(self._buf)
+        self._buf = self._buf[k:]

@@ -1,0 +1,217 @@
+"""Simulation driver: bias-point sweep + superstep loop + logging.
+
+Reference: kmc_main.cpp:56-603. Reproduces the reference's output-file
+format exactly (the Python scrapers in the reference's postprocessing/
+directory regex-match these strings — plot_IV.py:26-38, extract_data.py:17-31)
+and additionally writes structured JSONL metrics.
+
+Usage:
+    python -m akmc_tpu.runtime.driver <parameters.txt> [--workdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from akmc_tpu.config import KMCParameters
+from akmc_tpu.lattice import build_lattice, read_xyz, write_xyz_snapshot
+from akmc_tpu.models.vcm import VCMModel
+from akmc_tpu.rng import BufferedStream, ReferenceRNG
+from akmc_tpu.state import make_device_state, make_substoichiometric
+
+
+class OutputLog:
+    """Buffered text log matching the reference's outputBuffer/outputFile
+    behavior (kmc_main.cpp:118-121, 520-527)."""
+
+    def __init__(self, path: str):
+        if os.path.exists(path):
+            os.remove(path)
+        self._f = open(path, "a")
+        self._buf: list[str] = []
+
+    def write(self, s: str) -> None:
+        self._buf.append(s)
+
+    def flush(self) -> None:
+        self._f.write("".join(self._buf))
+        self._f.flush()
+        self._buf.clear()
+
+    def close(self) -> None:
+        self.flush()
+        self._f.close()
+
+
+def load_structure(p: KMCParameters, base_dir: str = "."):
+    """Read the initial structure (restart or atoms+interstitials files),
+    reference: kmc_main.cpp:127-148 + Device ctor."""
+    files = []
+    if p.restart:
+        files.append(os.path.join(base_dir, p.restart_xyz_file))
+    else:
+        files.append(os.path.join(base_dir, p.atom_xyz_file))
+        files.append(os.path.join(base_dir, p.interstitial_xyz_file))
+    elems, xs, ys, zs = [], [], [], []
+    for fpath in files:
+        e, x, y, z = read_xyz(fpath)
+        elems.append(e)
+        xs.append(x)
+        ys.append(y)
+        zs.append(z)
+    return (
+        np.concatenate(elems),
+        np.concatenate(xs),
+        np.concatenate(ys),
+        np.concatenate(zs),
+    )
+
+
+def run(
+    param_file: str,
+    workdir: str = ".",
+    max_supersteps: Optional[int] = None,
+    cache_dir: Optional[str] = None,
+    log: bool = True,
+) -> dict:
+    """Run the full bias sweep. Returns summary metrics."""
+    p = KMCParameters.from_file(param_file)
+    base_dir = os.path.dirname(os.path.abspath(param_file))
+
+    os.makedirs(workdir, exist_ok=True)
+    out = OutputLog(os.path.join(workdir, "output1_0.txt"))
+    metrics = open(os.path.join(workdir, "metrics.jsonl"), "w")
+
+    element, x, y, z = load_structure(p, base_dir)
+    if p.restart:
+        out.write(f"Restarting from {p.restart_xyz_file}\n")
+
+    if p.pristine:
+        element = make_substoichiometric(
+            element, p.initial_vacancy_concentration, ReferenceRNG(p.rnd_seed)
+        )
+
+    lat = build_lattice(element, x, y, z, p, cache_dir=cache_dir)
+    model = VCMModel(p, lat)
+    state = make_device_state(lat, p.background_temp)
+    kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
+
+    total_steps = 0
+    t_code_start = time.perf_counter()
+
+    for vt_counter, Vd in enumerate(p.V_switch):
+        t_bias = p.t_switch[vt_counter]
+        out.write("--------------------------------\n")
+        out.write(f"Applied Voltage = {_g(Vd)} V\n")
+        out.write("--------------------------------\n")
+
+        if p.solve_current:
+            state = model.update_cb_edge(state, Vd)
+
+        folder = os.path.join(workdir, f"Results_{Vd:.6f}")
+        os.makedirs(folder, exist_ok=True)
+        out.write(f"Created folder: {folder}\n")
+        write_xyz_snapshot(
+            os.path.join(folder, "snapshot_init.xyz"),
+            np.asarray(state.element), lat.x, lat.y, lat.z,
+            np.asarray(state.potential_charge), np.asarray(state.power),
+        )
+
+        kmc_time = 0.0
+        kmc_step_count = 0
+        state = state._replace(kmc_time=state.kmc_time * 0.0)
+
+        while kmc_time < t_bias:
+            t0 = time.perf_counter()
+            state, stats = model.superstep(state, Vd, kmc_stream)
+            t1 = time.perf_counter()
+            kmc_time = float(state.kmc_time)
+
+            dt = t1 - t0
+            # module-level timings are merged in the one-jit design; the
+            # scraped strings are kept with the superstep total
+            out.write(f"Z - calculation time - charge [s]{_g(dt)}\n")
+            out.write(
+                f"Z - calculation time - potential from boundaries [s]{_g(dt)}\n"
+            )
+            out.write(f"Z - calculation time - potential from charges [s]{_g(dt)}\n")
+            out.write(f"Z - calculation time - kmc events [s]{_g(dt)}\n")
+            out.write(f"KMC time is: {_g(kmc_time)}\n")
+
+            if kmc_step_count % p.output_freq == 0:
+                out.flush()
+            kmc_step_count += 1
+            total_steps += 1
+
+            out.write(f"Z - calculation time - KMC superstep [s]: {_g(dt)}\n")
+            out.write("--------------------------------------\n")
+
+            metrics.write(
+                json.dumps(
+                    {
+                        "bias": Vd,
+                        "step": kmc_step_count,
+                        "kmc_time": kmc_time,
+                        "superstep_s": dt,
+                        **stats,
+                    }
+                )
+                + "\n"
+            )
+            if log:
+                print(
+                    f"[Vd={Vd}] step {kmc_step_count}: kmc_time={kmc_time:.5e} "
+                    f"events={stats['n_events']} cg={stats['cg_iterations']} "
+                    f"wall={dt:.3f}s"
+                )
+
+            if max_supersteps and total_steps >= max_supersteps:
+                break
+
+        write_xyz_snapshot(
+            os.path.join(folder, f"snapshot_{kmc_step_count}.xyz"),
+            np.asarray(state.element), lat.x, lat.y, lat.z,
+            np.asarray(state.potential_charge), np.asarray(state.power),
+        )
+        if max_supersteps and total_steps >= max_supersteps:
+            break
+
+    total_time = time.perf_counter() - t_code_start
+    out.close()
+    metrics.close()
+    return {
+        "total_steps": total_steps,
+        "total_time_s": total_time,
+        "final_kmc_time": float(state.kmc_time),
+    }
+
+
+def _g(v: float) -> str:
+    """C++ default ostream double formatting (6 significant digits)."""
+    return f"{float(v):.6g}"
+
+
+def main():
+    ap = argparse.ArgumentParser(description="akmc_tpu KMC driver (runKMC equivalent)")
+    ap.add_argument("parameters", help="path to parameters.txt")
+    ap.add_argument("--workdir", default=".")
+    ap.add_argument("--max-supersteps", type=int, default=None)
+    ap.add_argument("--cache-dir", default=".cache")
+    args = ap.parse_args()
+    summary = run(
+        args.parameters,
+        workdir=args.workdir,
+        max_supersteps=args.max_supersteps,
+        cache_dir=args.cache_dir,
+    )
+    print(f"Total code execution time: {summary['total_time_s']:.6g} s")
+
+
+if __name__ == "__main__":
+    main()
