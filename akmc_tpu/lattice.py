@@ -315,16 +315,38 @@ def build_lattice(
         k_neigh_idx = data["k_neigh_idx"]
         cutoff_idx = data["cutoff_idx"]
     else:
-        neigh_idx = build_neighbor_list(
-            pos, params.nn_dist, params.max_num_neighbors
-        )
-        if params.pbc:
-            k_neigh_idx = build_k_adjacency(
-                pos, params.nn_dist, params.max_num_neighbors, lattice_dims, True
+        # device-accelerated builders (fall back to numpy if jax unusable)
+        try:
+            from akmc_tpu.lattice_jax import (
+                build_cutoff_list_device,
+                build_neighbor_list_device,
             )
-        else:
-            k_neigh_idx = neigh_idx
-        cutoff_idx, _ = build_cutoff_list(pos, element, params.cutoff_radius)
+
+            neigh_idx = build_neighbor_list_device(
+                pos, params.nn_dist, params.max_num_neighbors
+            )
+            if params.pbc:
+                k_neigh_idx = build_neighbor_list_device(
+                    pos, params.nn_dist, params.max_num_neighbors,
+                    lattice_dims, True,
+                )
+            else:
+                k_neigh_idx = neigh_idx
+            cutoff_idx, _ = build_cutoff_list_device(
+                pos, element, params.cutoff_radius
+            )
+        except ImportError:
+            neigh_idx = build_neighbor_list(
+                pos, params.nn_dist, params.max_num_neighbors
+            )
+            if params.pbc:
+                k_neigh_idx = build_k_adjacency(
+                    pos, params.nn_dist, params.max_num_neighbors,
+                    lattice_dims, True,
+                )
+            else:
+                k_neigh_idx = neigh_idx
+            cutoff_idx, _ = build_cutoff_list(pos, element, params.cutoff_radius)
         if cache_path:
             os.makedirs(cache_dir, exist_ok=True)
             np.savez_compressed(

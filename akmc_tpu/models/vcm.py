@@ -33,6 +33,27 @@ from akmc_tpu.solvers.poisson import solve_cb_edge, solve_potential_boundary
 from akmc_tpu.state import DeviceState
 
 
+class StaticTables(NamedTuple):
+    """All static per-structure device arrays. Passed as a jit ARGUMENT (not
+    closed over) so they enter the executable as parameters, not baked
+    constants."""
+
+    pos: jax.Array
+    neigh_idx: jax.Array
+    k_neigh_idx: jax.Array
+    cutoff_idx: jax.Array
+    dist_nn: jax.Array
+    layer_nbr: jax.Array
+    any_metal_nbr: jax.Array
+    metal_edge: jax.Array
+    metal_or_edge: jax.Array
+    is_metal: jax.Array
+    E_gen: jax.Array
+    E_rec: jax.Array
+    E_Vdiff: jax.Array
+    E_Odiff: jax.Array
+
+
 class FieldsResult(NamedTuple):
     charge: jax.Array
     potential_boundary: jax.Array
@@ -49,74 +70,61 @@ class VCMModel:
     params: KMCParameters
     lat: Lattice
 
-    # device arrays (filled in __post_init__)
-    pos: jax.Array = field(init=False)
-    neigh_idx: jax.Array = field(init=False)
-    k_neigh_idx: jax.Array = field(init=False)
-    cutoff_idx: jax.Array = field(init=False)
-    dist_nn: jax.Array = field(init=False)           # [m], non-PBC (events)
-    layer_nbr: jax.Array = field(init=False)
-    any_metal_nbr: jax.Array = field(init=False)
-    metal_edge: jax.Array = field(init=False)        # metal_i & metal_j on K adjacency
-    metal_or_edge: jax.Array = field(init=False)     # metal_i | metal_j (CB system)
-    is_metal: jax.Array = field(init=False)
-    E_gen: jax.Array = field(init=False)
-    E_rec: jax.Array = field(init=False)
-    E_Vdiff: jax.Array = field(init=False)
-    E_Odiff: jax.Array = field(init=False)
+    tables: StaticTables = field(init=False)
 
     def __post_init__(self):
         p, lat = self.params, self.lat
         f64 = jnp.float64
 
         pos_np = np.stack([lat.x, lat.y, lat.z], axis=1)
-        self.pos = jnp.asarray(pos_np, f64)
-        self.neigh_idx = jnp.asarray(lat.neigh_idx, jnp.int32)
-        self.k_neigh_idx = jnp.asarray(lat.k_neigh_idx, jnp.int32)
-        self.cutoff_idx = jnp.asarray(lat.cutoff_idx, jnp.int32)
 
         # neighbor distances for event self-interaction terms: non-PBC
         # Euclidean, in meters (kmc_events.cu:154-155); padded slots -> 1.0
         jc = np.clip(lat.neigh_idx, 0, None)
         d = np.sqrt(((pos_np[:, None, :] - pos_np[jc]) ** 2).sum(-1)) * 1e-10
         d[lat.neigh_idx < 0] = 1.0
-        self.dist_nn = jnp.asarray(d, f64)
-
-        self.layer_nbr = jnp.asarray(lat.site_layer[jc], jnp.int32)
 
         is_metal_np = metal_mask(lat.element0, p.metals)
-        self.is_metal = jnp.asarray(is_metal_np)
-        nbr_metal = is_metal_np[jc] & (lat.neigh_idx >= 0)
-        self.any_metal_nbr = jnp.asarray(nbr_metal.any(axis=1))
-
         kjc = np.clip(lat.k_neigh_idx, 0, None)
-        self.metal_edge = jnp.asarray(
-            is_metal_np[:, None] & is_metal_np[kjc] & (lat.k_neigh_idx >= 0)
-        )
-        self.metal_or_edge = jnp.asarray(
-            (is_metal_np[:, None] | is_metal_np[kjc]) & (lat.k_neigh_idx >= 0)
-        )
 
-        self.E_gen = jnp.asarray([l.E_gen_0 for l in p.layers], f64)
-        self.E_rec = jnp.asarray([l.E_rec_1 for l in p.layers], f64)
-        self.E_Vdiff = jnp.asarray([l.E_diff_2 for l in p.layers], f64)
-        self.E_Odiff = jnp.asarray([l.E_diff_3 for l in p.layers], f64)
+        self.tables = StaticTables(
+            pos=jnp.asarray(pos_np, f64),
+            neigh_idx=jnp.asarray(lat.neigh_idx, jnp.int32),
+            k_neigh_idx=jnp.asarray(lat.k_neigh_idx, jnp.int32),
+            cutoff_idx=jnp.asarray(lat.cutoff_idx, jnp.int32),
+            dist_nn=jnp.asarray(d, f64),
+            layer_nbr=jnp.asarray(lat.site_layer[jc], jnp.int32),
+            any_metal_nbr=jnp.asarray(
+                (is_metal_np[jc] & (lat.neigh_idx >= 0)).any(axis=1)
+            ),
+            metal_edge=jnp.asarray(
+                is_metal_np[:, None] & is_metal_np[kjc] & (lat.k_neigh_idx >= 0)
+            ),
+            metal_or_edge=jnp.asarray(
+                (is_metal_np[:, None] | is_metal_np[kjc]) & (lat.k_neigh_idx >= 0)
+            ),
+            is_metal=jnp.asarray(is_metal_np),
+            E_gen=jnp.asarray([l.E_gen_0 for l in p.layers], f64),
+            E_rec=jnp.asarray([l.E_rec_1 for l in p.layers], f64),
+            E_Vdiff=jnp.asarray([l.E_diff_2 for l in p.layers], f64),
+            E_Odiff=jnp.asarray([l.E_diff_3 for l in p.layers], f64),
+        )
 
         self._fields_jit = jax.jit(self._fields)
         self._events_jit = jax.jit(self._events)
         self._cb_jit = jax.jit(self._cb)
 
     # ------------------------------------------------------------------
-    def _fields(self, element, charge, potential_boundary_prev, T_bg, Vd):
+    def _fields(self, t: StaticTables, element, charge, potential_boundary_prev, T_bg, Vd):
         p = self.params
-        charge = update_charge(element, charge, self.neigh_idx, self.any_metal_nbr)
+        charge = update_charge(element, charge, t.neigh_idx, t.any_metal_nbr)
 
         pot_boundary, cg = solve_potential_boundary(
             element,
             charge,
             potential_boundary_prev,
-            self.k_neigh_idx,
-            self.metal_edge,
+            t.k_neigh_idx,
+            t.metal_edge,
             Vd,
             p.high_G,
             p.low_G,
@@ -124,7 +132,7 @@ class VCMModel:
         )
 
         pot_pair = pairwise_potential(
-            self.pos, charge, self.cutoff_idx, p.sigma, p.k
+            t.pos, charge, t.cutoff_idx, p.sigma, p.k
         )
         pot_sum = pot_pair + pot_boundary   # sum_AB_into_A (psg.cu:1130-1151)
 
@@ -133,13 +141,13 @@ class VCMModel:
             charge,
             pot_sum,
             T_bg,
-            self.neigh_idx,
-            self.dist_nn,
-            self.layer_nbr,
-            self.E_gen,
-            self.E_rec,
-            self.E_Vdiff,
-            self.E_Odiff,
+            t.neigh_idx,
+            t.dist_nn,
+            t.layer_nbr,
+            t.E_gen,
+            t.E_rec,
+            t.E_Vdiff,
+            t.E_Odiff,
             p.freq,
             p.sigma,
             p.k,
@@ -153,26 +161,26 @@ class VCMModel:
             cg_iterations=cg.iterations,
         )
 
-    def _events(self, element, charge, P, etype, rand_buf, event_time_in):
+    def _events(self, t: StaticTables, element, charge, P, etype, rand_buf, event_time_in):
         return run_event_loop(
             element,
             charge,
             P,
             etype,
-            self.neigh_idx,
+            t.neigh_idx,
             rand_buf,
             self.params.freq,
             event_time_in=event_time_in,
         )
 
-    def _cb(self, element, charge, cb_prev, Vd):
+    def _cb(self, t: StaticTables, element, charge, cb_prev, Vd):
         p = self.params
         return solve_cb_edge(
             element,
             charge,
             cb_prev,
-            self.k_neigh_idx,
-            self.metal_or_edge,
+            t.k_neigh_idx,
+            t.metal_or_edge,
             Vd,
             p.high_G * 100000,
             p.low_G,
@@ -196,7 +204,8 @@ class VCMModel:
         """
         p = self.params
         fr = self._fields_jit(
-            state.element, state.charge, state.potential_boundary, state.T_bg, Vd
+            self.tables, state.element, state.charge, state.potential_boundary,
+            state.T_bg, Vd,
         )
 
         element, charge, P = state.element, fr.charge, fr.P
@@ -205,7 +214,9 @@ class VCMModel:
         done = False
         while not done:
             rand_buf = jnp.asarray(stream.peek(rand_chunk))
-            res = self._events_jit(element, charge, P, fr.etype, rand_buf, ev_time)
+            res = self._events_jit(
+                self.tables, element, charge, P, fr.etype, rand_buf, ev_time
+            )
             element, charge, P = res.element, res.charge, res.P
             n_events += int(res.n_events)
             ev_time = res.event_time
@@ -227,5 +238,5 @@ class VCMModel:
         return new_state, stats
 
     def update_cb_edge(self, state: DeviceState, Vd: float) -> DeviceState:
-        cb, _ = self._cb_jit(state.element, state.charge, state.cb_edge, Vd)
+        cb, _ = self._cb_jit(self.tables, state.element, state.charge, state.cb_edge, Vd)
         return state._replace(cb_edge=cb)

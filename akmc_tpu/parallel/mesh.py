@@ -1,0 +1,79 @@
+"""Device-mesh setup and sharding rules.
+
+The reference scales by a 1-D row decomposition of the site/atom axis over
+MPI ranks, with replicated field vectors refreshed by Allgatherv and
+solver-internal halo exchange (KMC_comm.h:245-392, dist_objects.h:67-68).
+
+TPU-native mapping (SURVEY.md §2.3): ONE mesh axis ``sites``:
+  * O(N) field vectors (element, charge, potentials) stay REPLICATED —
+    they are tiny (N ≲ millions of f64) and every module reads them with
+    arbitrary-neighbor gathers;
+  * all O(N*NN) / O(N*C) pair tables (neighbor adjacency, conductances,
+    event rates, cutoff candidates) are row-sharded — these carry the
+    compute and the memory;
+  * jit propagates the shardings: row-sharded gathers of replicated vectors
+    are local; reductions to scalars (CG dots, total rates) lower to psum
+    over ICI — exactly the collectives the reference hand-codes with
+    hipblasDdot + MPI_Allreduce.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SITE_AXIS = "sites"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (SITE_AXIS,))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard dim 0 (sites/rows) over the mesh."""
+    return NamedSharding(mesh, P(SITE_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+_ROW_SHARDED = (
+    "neigh_idx",
+    "k_neigh_idx",
+    "cutoff_idx",
+    "dist_nn",
+    "layer_nbr",
+    "metal_edge",
+    "metal_or_edge",
+)
+
+
+def shard_model(model, mesh: Mesh):
+    """Place a VCMModel's static tables row-sharded on the mesh (in place).
+
+    Requires N % mesh size == 0 (pad the lattice if needed).
+    """
+    rs = row_sharding(mesh)
+    rep = replicated(mesh)
+    t = model.tables
+    model.tables = t._replace(
+        **{n: jax.device_put(getattr(t, n), rs) for n in _ROW_SHARDED},
+        **{
+            n: jax.device_put(getattr(t, n), rep)
+            for n in t._fields
+            if n not in _ROW_SHARDED
+        },
+    )
+    return model
+
+
+def replicate_state(state, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, rep), state)

@@ -19,6 +19,10 @@ from typing import Optional
 
 import numpy as np
 
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 from akmc_tpu.config import KMCParameters
 from akmc_tpu.lattice import build_lattice, read_xyz, write_xyz_snapshot
 from akmc_tpu.models.vcm import VCMModel

@@ -357,10 +357,11 @@ def test_event_table_vs_oracle(toy):
     rng = np.random.RandomState(1)
     potential = rng.randn(lat.N) * 0.05
 
+    t = model.tables
     P, T = build_event_table(
         jnp.asarray(elem), jnp.asarray(charge), jnp.asarray(potential),
-        jnp.asarray(300.0), model.neigh_idx, model.dist_nn, model.layer_nbr,
-        model.E_gen, model.E_rec, model.E_Vdiff, model.E_Odiff,
+        jnp.asarray(300.0), t.neigh_idx, t.dist_nn, t.layer_nbr,
+        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
         p.freq, p.sigma, p.k,
     )
     Pw, Tw = _rate_oracle(p, lat, elem, charge, potential, 300.0)
