@@ -1,0 +1,426 @@
+"""Current / dissipated-power solver (transmission-matrix linear system).
+
+Reference: the dense `update_power_gpu` path (current_solver_gpu.cu:2382-2573,
+create_X 2175-2316) — the COMPLETE intended physics — and its scalable
+sparse+tunnel split (update_power_gpu_sparse_dist, 1430-1855). The committed
+reference never executes this module at runtime (comm_T is nulled,
+KMC_comm.h:243); numerics here are validated against an independent scipy
+oracle instead of golden outputs.
+
+System: nodes [0]=extraction, [1]=injection, [2..N_atom+2)=atoms (non-defect
+sites; this SET is static — events only exchange elements within the
+{V,O}/{Od,d} classes). The last atom is grounded (the dense path solves the
+leading (N_atom+1) principal block). Terms:
+
+  * neighbor conductances (PBC-aware dist < nn_dist): -high_G for
+    metal-metal / neutral-vacancy pairs else -low_G;
+  * WKB tunneling between non-neighbor tunnel-eligible pairs
+    (vacancy <-> vacancy, vacancy <-> inner-contact metal, metal <-> metal)
+    with |dE_CB| > tol:
+      trap/trap & contact/contact:  T = exp(prefac * d/|dE| * (E1^1.5 - E2^1.5))
+                                    (E2 < 0: drop the E2 term — triangular barrier)
+      contact->trap: sum the same expression over occupied contact energies
+                     E1 = V0*q + s*dE_step for s*dE_step < |dE|;
+  * injection/extraction rails: -high_G from node 1 to the first
+    num_source_inj atoms and node 0 to the last num_ground_ext-1 atoms
+    (the reference's strict `i > N - num_ground_ext` is preserved);
+  * -loop_G between nodes 0 and 1; rhs = (-loop_G*Vd, +loop_G*Vd, 0...).
+
+TPU realization: no (N_atom+2)^2 matrix. The CG operator is
+  diag*v - ELL-neighbor gather - W_tunnel block matvec - rail rank-terms
+where W_tunnel lives on compacted vacancy/contact index lists — the dense
+tunnel block is an MXU matmul (the reference's own split treats it as an
+effectively-dense subblock, dist_iterative_test/main_test.cpp:46-52).
+
+Post-solve (scaled by G0): I_macro over the extraction rail; per-atom
+dissipated power P_i = sum_j ineg_ij (m_j - m_i) with ineg the
+forward-current matrix (set_ineg, 2353-2379); site_power = -alpha * P_i on
+non-metal atoms (copy_pdisp, 462-474).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from akmc_tpu.config import EV_TO_J, H_BAR
+from akmc_tpu.lattice import ELEM
+from akmc_tpu.solvers.cg import jacobi_cg
+
+
+class CurrentTables(NamedTuple):
+    """Static atom-level tables (the atom SET never changes)."""
+
+    atom_ind: jax.Array        # (N_atom,) site index of each atom
+    atom_pos: jax.Array        # (N_atom, 3) [Angstrom]
+    atom_neigh_idx: jax.Array  # (N_atom, NNa) atom-index adjacency, -1 pad
+    atom_is_metal: jax.Array   # (N_atom,) bool
+    metal_p: jax.Array         # (N_atom,) bool: metal in the tunnel window
+    contact_idx: jax.Array     # (NC,) atom indices of metal_p contacts (static)
+    inj_tie: jax.Array         # (N_atom,) bool: tied to injection node
+    ext_tie: jax.Array         # (N_atom,) bool: tied to extraction node
+    n_inj: int
+    n_ext: int
+
+
+def build_current_tables(
+    element0: np.ndarray,
+    pos: np.ndarray,                # (N, 3)
+    lattice: np.ndarray,
+    pbc: bool,
+    nn_dist: float,
+    metals: list,
+    num_source_inj: int,
+    num_ground_ext: int,
+    num_layers_contact: int,
+    max_num_neighbors: int = 52,
+) -> CurrentTables:
+    from akmc_tpu.lattice import metal_mask
+    from akmc_tpu.lattice_jax import build_neighbor_list_device
+
+    is_atom = (element0 != int(ELEM.DEFECT)) & (element0 != int(ELEM.OXYGEN_DEFECT))
+    atom_ind = np.nonzero(is_atom)[0].astype(np.int32)
+    n_atom = len(atom_ind)
+    apos = pos[atom_ind]
+
+    a_nbr = build_neighbor_list_device(
+        apos, nn_dist, max_num_neighbors, lattice, pbc, strict=True
+    )
+
+    am = metal_mask(element0[atom_ind], metals)
+    ai = np.arange(n_atom)
+    # tunnel-window contacts exclude the outer num_layers_contact-1 slices
+    # (create_X metal1p/metal2p, current_solver_gpu.cu:2206-2213)
+    metal_p = (
+        am
+        & (ai > (num_layers_contact - 1) * num_source_inj)
+        & (ai < n_atom - (num_layers_contact - 1) * num_ground_ext)
+    )
+    inj_tie = ai < num_source_inj
+    # reference quirk kept: strict '>', so num_ground_ext-1 atoms
+    # (create_X, current_solver_gpu.cu:2306)
+    ext_tie = ai > (n_atom - num_ground_ext)
+
+    return CurrentTables(
+        atom_ind=jnp.asarray(atom_ind),
+        atom_pos=jnp.asarray(apos, jnp.float64),
+        atom_neigh_idx=jnp.asarray(a_nbr),
+        atom_is_metal=jnp.asarray(am),
+        metal_p=jnp.asarray(metal_p),
+        contact_idx=jnp.asarray(np.nonzero(metal_p)[0].astype(np.int32)),
+        inj_tie=jnp.asarray(inj_tie),
+        ext_tie=jnp.asarray(ext_tie),
+        n_inj=int(inj_tie.sum()),
+        n_ext=int(ext_tie.sum()),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WKB tunneling coefficients
+# ---------------------------------------------------------------------------
+
+def _wkb_single(dist_m, dE_abs, m_e, V0):
+    """Single-barrier transmission (trap/trap & contact/contact),
+    create_X else-branch (current_solver_gpu.cu:2258-2272)."""
+    prefac = -(jnp.sqrt(2.0 * m_e) / H_BAR) * (2.0 / 3.0)
+    E1 = EV_TO_J * V0
+    E2 = E1 - dE_abs
+    expo_trap = prefac * (dist_m / dE_abs) * (E1**1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5)
+    expo_tri = prefac * (dist_m / dE_abs) * E1**1.5
+    return jnp.where(E2 > 0, jnp.exp(expo_trap), jnp.exp(expo_tri))
+
+
+def _wkb_contact_trap(dist_m, dE_abs, m_e, V0, ne_max: int):
+    """Energy-integrated transmission for contact<->trap pairs
+    (create_X contact_to_trap branch, current_solver_gpu.cu:2229-2256).
+
+    Sums s = 0..: E1 = q*V0 + s*dE_step while s*dE_step < |dE|, fixed
+    unrolled length ne_max with masking. Shapes: broadcast over inputs.
+    """
+    prefac = -(jnp.sqrt(2.0 * m_e) / H_BAR) * (2.0 / 3.0)
+    dE_step = EV_TO_J * 0.01
+
+    def body(s, acc):
+        iv = s * dE_step
+        active = iv < dE_abs
+        E1 = EV_TO_J * V0 + iv
+        E2 = E1 - dE_abs
+        expo_trap = prefac * (dist_m / dE_abs) * (
+            E1**1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5
+        )
+        expo_tri = prefac * (dist_m / dE_abs) * E1**1.5
+        term = jnp.where(E2 > 0, jnp.exp(expo_trap), jnp.exp(expo_tri))
+        return acc + jnp.where(active, term, 0.0)
+
+    return jax.lax.fori_loop(0, ne_max, body, jnp.zeros_like(dist_m))
+
+
+# ---------------------------------------------------------------------------
+# per-superstep dynamic assembly (compact pieces, no big matrix)
+# ---------------------------------------------------------------------------
+
+class PowerSystem(NamedTuple):
+    """Per-superstep operator pieces for the transmission system."""
+
+    G_nbr: jax.Array          # (N_atom, NNa) neighbor conductances (masked 0)
+    vac_idx: jax.Array        # (VMAX,) compacted vacancy atom idx, -1 pad
+    W_tt: jax.Array           # (VMAX, VMAX) trap-trap tunnel coefficients
+    W_ct: jax.Array           # (NC, VMAX) contact-trap (integrated)
+    W_cc: jax.Array           # (NC, NC) contact-contact
+    diag: jax.Array           # (N_atom,) atom diagonal
+    diag0: jax.Array          # () extraction-node diagonal
+    diag1: jax.Array          # () injection-node diagonal
+
+
+def _pair_dist_m(pos_a, pos_b, lattice, pbc):
+    d = pos_a[:, None, :] - pos_b[None, :, :]
+    if pbc:
+        dy = d[..., 1] / lattice[1]
+        dy = (dy - jnp.round(dy)) * lattice[1]
+        dz = d[..., 2] / lattice[2]
+        dz = (dz - jnp.round(dz)) * lattice[2]
+        d2 = d[..., 0] ** 2 + dy**2 + dz**2
+    else:
+        d2 = jnp.sum(d * d, -1)
+    return 1e-10 * jnp.sqrt(d2), jnp.sqrt(d2)
+
+
+def build_power_system(
+    ct: CurrentTables,
+    atom_element: jnp.ndarray,     # (N_atom,) gathered site elements
+    atom_charge: jnp.ndarray,
+    atom_cb_edge: jnp.ndarray,     # (N_atom,) [J]
+    lattice: jnp.ndarray,
+    pbc: bool,
+    nn_dist: float,
+    high_G: float,
+    low_G: float,
+    loop_G: float,
+    tol: float,
+    m_e: float,
+    V0: float,
+    vmax: int,
+    ne_max: int,
+) -> PowerSystem:
+    n_atom = atom_element.shape[0]
+    nbr = ct.atom_neigh_idx
+    valid = nbr >= 0
+    j = nbr.clip(0)
+
+    metal_i = ct.atom_is_metal
+    cvac = (atom_element == int(ELEM.VACANCY)) & (atom_charge == 0)
+    pair_high = (metal_i[:, None] & metal_i[j]) | (cvac[:, None] & cvac[j])
+    G_nbr = jnp.where(valid, jnp.where(pair_high, high_G, low_G), 0.0)
+
+    # compacted vacancy list (dynamic; static cap vmax)
+    is_vac = atom_element == int(ELEM.VACANCY)
+    vac_idx = jnp.nonzero(is_vac, size=vmax, fill_value=-1)[0].astype(jnp.int32)
+    vv = vac_idx >= 0
+    vi = vac_idx.clip(0)
+
+    cb = atom_cb_edge
+    cidx = ct.contact_idx
+
+    pos_v = ct.atom_pos[vi]
+    pos_c = ct.atom_pos[cidx]
+
+    def wkb_block(pos_a, pos_b, cb_a, cb_b, mask_a, mask_b, idx_a, idx_b, integrate):
+        dist_m, dist_ang = _pair_dist_m(pos_a, pos_b, lattice, pbc)
+        dE = jnp.abs(cb_a[:, None] - cb_b[None, :])
+        neighbor = dist_ang < nn_dist
+        same = idx_a[:, None] == idx_b[None, :]
+        ok = (
+            mask_a[:, None]
+            & mask_b[None, :]
+            & ~same
+            & ~neighbor
+            & (dE > tol)
+        )
+        dE_safe = jnp.where(ok, dE, 1.0)
+        if integrate:
+            T = _wkb_contact_trap(dist_m, dE_safe, m_e, V0, ne_max)
+        else:
+            T = _wkb_single(dist_m, dE_safe, m_e, V0)
+        return jnp.where(ok, T, 0.0)
+
+    ones_c = jnp.ones(cidx.shape[0], bool)
+    W_tt = wkb_block(pos_v, pos_v, cb[vi], cb[vi], vv, vv, vac_idx, vac_idx, False)
+    W_cc = wkb_block(pos_c, pos_c, cb[cidx], cb[cidx], ones_c, ones_c, cidx, cidx, False)
+    W_ct = wkb_block(pos_c, pos_v, cb[cidx], cb[vi], ones_c, vv, cidx, vac_idx, True)
+
+    # diagonal: all row sums positive (write_to_diag, iterative_solvers_gpu.cu:39-47)
+    diag = jnp.sum(G_nbr, axis=1)
+    diag = diag + high_G * ct.inj_tie + high_G * ct.ext_tie
+    # tunnel row sums scattered back to atoms
+    diag = diag.at[vi].add(jnp.where(vv, jnp.sum(W_tt, axis=1) + jnp.sum(W_ct, axis=0), 0.0))
+    diag = diag.at[cidx].add(jnp.sum(W_cc, axis=1) + jnp.sum(W_ct, axis=1))
+
+    diag0 = loop_G + high_G * ct.n_ext
+    diag1 = loop_G + high_G * ct.n_inj
+    return PowerSystem(
+        G_nbr=G_nbr, vac_idx=vac_idx, W_tt=W_tt, W_ct=W_ct, W_cc=W_cc,
+        diag=diag, diag0=jnp.asarray(diag0, diag.dtype), diag1=jnp.asarray(diag1, diag.dtype),
+    )
+
+
+def _X_atoms_matvec(ct: CurrentTables, ps: PowerSystem, va: jnp.ndarray) -> jnp.ndarray:
+    """Off-diagonal atom-atom part: (-G_nbr - W_tunnel) @ va, over all atoms."""
+    nbr = ct.atom_neigh_idx
+    y = -jnp.sum(ps.G_nbr * va[nbr.clip(0)], axis=1)
+
+    vi = ps.vac_idx.clip(0)
+    vv = ps.vac_idx >= 0
+    v_v = jnp.where(vv, va[vi], 0.0)
+    v_c = va[ct.contact_idx]
+
+    y_v = -(ps.W_tt @ v_v) - (ps.W_ct.T @ v_c)          # per vacancy slot
+    y_c = -(ps.W_cc @ v_c) - (ps.W_ct @ v_v)            # per contact
+    y = y.at[vi].add(jnp.where(vv, y_v, 0.0))
+    y = y.at[ct.contact_idx].add(y_c)
+    return y
+
+
+def solve_power(
+    ct: CurrentTables,
+    ps: PowerSystem,
+    Vd,
+    high_G: float,
+    loop_G: float,
+    G0: float,
+    alpha: float,
+    m_prev: jnp.ndarray,            # (N_atom+2,) warm start (unscaled units)
+    atom_element: jnp.ndarray,
+    rtol_coeff: float = 1e-12,
+    max_iterations: int = 10000,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Solve X m = b, return (I_macro [A], atom_power (N_atom,) [W],
+    m (N_atom+2) unscaled, cg_iters).
+
+    Unknowns: nodes [0,1] + atoms 0..N_atom-2 (last atom grounded, matching
+    the dense path's leading-principal-block LU, current_solver_gpu.cu:2466).
+    """
+    n_atom = ct.atom_ind.shape[0]
+
+    def A(v):
+        # v: (N_atom + 1,) = [ext, inj, atoms[:-1]]
+        va = jnp.concatenate([v[2:], jnp.zeros(1, v.dtype)])
+        y_at = ps.diag * va + _X_atoms_matvec(ct, ps, va)
+        y_at = y_at - high_G * ct.inj_tie * v[1] - high_G * ct.ext_tie * v[0]
+        y0 = ps.diag0 * v[0] - loop_G * v[1] - high_G * jnp.sum(jnp.where(ct.ext_tie, va, 0.0))
+        y1 = ps.diag1 * v[1] - loop_G * v[0] - high_G * jnp.sum(jnp.where(ct.inj_tie, va, 0.0))
+        return jnp.concatenate([jnp.stack([y0, y1]), y_at[:-1]])
+
+    b = jnp.zeros(n_atom + 1).at[0].set(-loop_G * Vd).at[1].set(loop_G * Vd)
+    inv_diag = 1.0 / jnp.concatenate(
+        [jnp.stack([ps.diag0, ps.diag1]), ps.diag[:-1]]
+    )
+    x0 = m_prev[: n_atom + 1]
+    res = jacobi_cg(A, b, x0, inv_diag, rtol_coeff * n_atom, max_iterations)
+
+    m = jnp.concatenate([res.x, jnp.zeros(1, res.x.dtype)])   # grounded atom
+    m_scaled = m * G0
+
+    # I_macro: extraction-rail sum (get_imacro, current_solver_gpu.cu:2493-2507)
+    m_at = m_scaled[2:]
+    I_macro = jnp.sum(
+        jnp.where(ct.ext_tie, (-high_G) * (m_scaled[0] - m_at), 0.0)
+    )
+
+    # forward-current power: pdisp_i = sum_j ineg_ij (m_j - m_i)
+    # (set_ineg + row_reduce + write_to_diag + gemv, 2520-2559);
+    # the min-shift of m cancels in differences and is omitted.
+    sgn = jnp.sign(Vd)
+
+    def ineg_contrib(x_off, mi, mj):
+        ical = -x_off * (mi - mj)      # X_ij = -coef
+        fwd = jnp.where(sgn >= 0, ical < 0, ical > 0)
+        return jnp.where(fwd, -ical, 0.0)
+
+    nbr = ct.atom_neigh_idx
+    jm = m_at[nbr.clip(0)]
+    ineg_n = ineg_contrib(ps.G_nbr, m_at[:, None], jm)
+    pdisp = jnp.sum(ineg_n * (jm - m_at[:, None]), axis=1)
+
+    vi = ps.vac_idx.clip(0)
+    vv = ps.vac_idx >= 0
+    m_v = jnp.where(vv, m_at[vi], 0.0)
+    m_c = m_at[ct.contact_idx]
+
+    in_tt = ineg_contrib(ps.W_tt, m_v[:, None], m_v[None, :])
+    in_cc = ineg_contrib(ps.W_cc, m_c[:, None], m_c[None, :])
+    in_ct = ineg_contrib(ps.W_ct, m_c[:, None], m_v[None, :])
+    in_tc = ineg_contrib(ps.W_ct.T, m_v[:, None], m_c[None, :])
+
+    p_v = jnp.sum(in_tt * (m_v[None, :] - m_v[:, None]), axis=1) + jnp.sum(
+        in_tc * (m_c[None, :] - m_v[:, None]), axis=1
+    )
+    p_c = jnp.sum(in_cc * (m_c[None, :] - m_c[:, None]), axis=1) + jnp.sum(
+        in_ct * (m_v[None, :] - m_c[:, None]), axis=1
+    )
+    pdisp = pdisp.at[vi].add(jnp.where(vv, p_v, 0.0))
+    pdisp = pdisp.at[ct.contact_idx].add(p_c)
+
+    atom_power = jnp.where(ct.atom_is_metal, 0.0, -alpha * pdisp)
+    return I_macro, atom_power, m, res.iterations
+
+
+# ---------------------------------------------------------------------------
+# dense oracle path (small systems / tests) — full intended physics
+# ---------------------------------------------------------------------------
+
+def assemble_dense_X(
+    ct: CurrentTables,
+    atom_element: jnp.ndarray,
+    atom_charge: jnp.ndarray,
+    atom_cb_edge: jnp.ndarray,
+    lattice: jnp.ndarray,
+    pbc: bool,
+    nn_dist: float,
+    high_G: float,
+    low_G: float,
+    loop_G: float,
+    tol: float,
+    m_e: float,
+    V0: float,
+    ne_max: int = 2048,
+) -> jnp.ndarray:
+    """Full (N_atom+2)^2 transmission matrix — mirrors create_X exactly.
+    For tests and small devices only."""
+    n = atom_element.shape[0]
+    dist_m, dist_ang = _pair_dist_m(ct.atom_pos, ct.atom_pos, lattice, pbc)
+    ii = jnp.arange(n)
+    same = ii[:, None] == ii[None, :]
+    neighbor = (dist_ang < nn_dist) & ~same
+
+    metal = ct.atom_is_metal
+    cvac = (atom_element == int(ELEM.VACANCY)) & (atom_charge == 0)
+    pair_high = (metal[:, None] & metal[None, :]) | (cvac[:, None] & cvac[None, :])
+    Xnn = jnp.where(neighbor, jnp.where(pair_high, -high_G, -low_G), 0.0)
+
+    vac = atom_element == int(ELEM.VACANCY)
+    mp = ct.metal_p
+    tt = vac[:, None] & vac[None, :]
+    cc = mp[:, None] & mp[None, :]
+    ctp = (vac[:, None] & mp[None, :]) | (mp[:, None] & vac[None, :])
+    dE = jnp.abs(atom_cb_edge[:, None] - atom_cb_edge[None, :])
+    elig = (tt | cc | ctp) & (dE > tol) & ~same & ~neighbor
+    dE_safe = jnp.where(elig, dE, 1.0)
+    T_single = _wkb_single(dist_m, dE_safe, m_e, V0)
+    T_int = _wkb_contact_trap(dist_m, dE_safe, m_e, V0, ne_max)
+    Xt = jnp.where(elig, jnp.where(ctp, -T_int, -T_single), 0.0)
+
+    X = jnp.zeros((n + 2, n + 2))
+    X = X.at[2:, 2:].set(Xnn + Xt)
+    X = X.at[1, 2:].add(jnp.where(ct.inj_tie, -high_G, 0.0))
+    X = X.at[2:, 1].add(jnp.where(ct.inj_tie, -high_G, 0.0))
+    X = X.at[0, 2:].add(jnp.where(ct.ext_tie, -high_G, 0.0))
+    X = X.at[2:, 0].add(jnp.where(ct.ext_tie, -high_G, 0.0))
+    X = X.at[0, 1].set(-loop_G)
+    X = X.at[1, 0].set(-loop_G)
+
+    rowsum = jnp.sum(X, axis=1)
+    X = X + jnp.diag(-rowsum)
+    return X

@@ -1,0 +1,261 @@
+"""Current/power solver vs independent numpy oracle (the reference's
+committed state never executes this module — comm_T is nulled,
+KMC_comm.h:243 — so the dense-path physics (update_power_gpu,
+current_solver_gpu.cu:2382-2573) is validated here against a from-spec
+numpy implementation)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from akmc_tpu.config import EV_TO_J, H_BAR
+from akmc_tpu.lattice import ELEM
+from akmc_tpu.rng import ReferenceRNG
+from akmc_tpu.state import make_substoichiometric
+
+METALS = (int(ELEM.Ti), int(ELEM.N))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax.numpy as jnp
+
+    from tests.util_toy import toy_device
+
+    from akmc_tpu.solvers.current import build_current_tables
+
+    p, lat = toy_device(nx=10, ny=3, nz=3, contact_layers=3)
+    lat.element0[:] = make_substoichiometric(lat.element0, 0.3, ReferenceRNG(9))
+    pos = np.stack([lat.x, lat.y, lat.z], 1)
+
+    num_src = p.num_atoms_first_layer
+    ct = build_current_tables(
+        lat.element0, pos, np.asarray(p.lattice), False, p.nn_dist,
+        p.metals, num_src, num_src, p.num_layers_contact,
+        max_num_neighbors=p.max_num_neighbors,
+    )
+
+    n_atom = int(ct.atom_ind.shape[0])
+    rng = np.random.RandomState(2)
+    atom_elem = lat.element0[np.asarray(ct.atom_ind)]
+    atom_charge = np.where(
+        (atom_elem == int(ELEM.VACANCY)) & (rng.rand(n_atom) < 0.5), 2, 0
+    ).astype(np.int32)
+    # synthetic CB-edge profile [J]: linear drop + noise
+    cb = (np.linspace(1.0, -1.0, n_atom) + 0.05 * rng.randn(n_atom)) * EV_TO_J
+    return p, lat, ct, atom_elem, atom_charge, cb
+
+
+def _dense_X_oracle(p, ct, atom_elem, atom_charge, cb, high_G, low_G, loop_G, tol):
+    """From-spec numpy re-implementation of create_X
+    (current_solver_gpu.cu:2175-2316)."""
+    apos = np.asarray(ct.atom_pos)
+    n = len(atom_elem)
+    is_metal = np.isin(atom_elem, METALS)
+    metal_p = np.asarray(ct.metal_p)
+    m_e = p.m_e
+    V0 = p.V0
+    nfull = n + 2
+    X = np.zeros((nfull, nfull))
+    prefac = -(math.sqrt(2 * m_e) / H_BAR) * (2.0 / 3.0)
+
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            d_ang = np.sqrt(((apos[i] - apos[j]) ** 2).sum())
+            neighbor = d_ang < p.nn_dist
+            if neighbor:
+                cv1 = atom_elem[i] == int(ELEM.VACANCY) and atom_charge[i] == 0
+                cv2 = atom_elem[j] == int(ELEM.VACANCY) and atom_charge[j] == 0
+                if (is_metal[i] and is_metal[j]) or (cv1 and cv2):
+                    X[i + 2, j + 2] = -high_G
+                else:
+                    X[i + 2, j + 2] = -low_G
+                continue
+            vac1 = atom_elem[i] == int(ELEM.VACANCY)
+            vac2 = atom_elem[j] == int(ELEM.VACANCY)
+            t2t = vac1 and vac2
+            c2t = (vac1 and metal_p[j]) or (vac2 and metal_p[i])
+            c2c = metal_p[i] and metal_p[j]
+            dE = cb[i] - cb[j]
+            if not (t2t or c2t or c2c) or abs(dE) <= tol:
+                continue
+            d = 1e-10 * d_ang
+            if c2t:
+                window = abs(dE)
+                dE_step = EV_TO_J * 0.01
+                T = 0.0
+                iv = 0.0
+                while iv < window:
+                    E1 = EV_TO_J * V0 + iv
+                    E2 = E1 - window
+                    if E2 > 0:
+                        T += math.exp(prefac * (d / window) * (E1**1.5 - E2**1.5))
+                    else:
+                        T += math.exp(prefac * (d / window) * E1**1.5)
+                    iv += dE_step
+                X[i + 2, j + 2] = -T
+            else:
+                E1 = EV_TO_J * V0
+                E2 = E1 - abs(dE)
+                if E2 > 0:
+                    T = math.exp(prefac * (d / abs(E1 - E2)) * (E1**1.5 - E2**1.5))
+                else:
+                    T = math.exp(prefac * (d / abs(E1 - E2)) * E1**1.5)
+                X[i + 2, j + 2] = -T
+
+    num_src = int(np.asarray(ct.inj_tie).sum())
+    num_ext_param = num_src
+    for i in range(n):
+        if i < num_src:
+            X[1, i + 2] = -high_G
+            X[i + 2, 1] = -high_G
+        if i > n - num_ext_param:
+            X[0, i + 2] = -high_G
+            X[i + 2, 0] = -high_G
+    X[0, 1] = -loop_G
+    X[1, 0] = -loop_G
+
+    for i in range(nfull):
+        X[i, i] = -X[i].sum()
+    return X
+
+
+def test_dense_assembly_vs_oracle(setup):
+    import jax.numpy as jnp
+
+    from akmc_tpu.solvers.current import assemble_dense_X
+
+    p, lat, ct, atom_elem, atom_charge, cb = setup
+    high_G = p.high_G * 100000
+    low_G = p.low_G
+    loop_G = p.high_G * 10000000
+    tol = p.q * 0.01
+
+    X = np.asarray(
+        assemble_dense_X(
+            ct, jnp.asarray(atom_elem), jnp.asarray(atom_charge), jnp.asarray(cb),
+            jnp.asarray(np.asarray(p.lattice)), False, p.nn_dist,
+            high_G, low_G, loop_G, tol, p.m_e, p.V0, ne_max=512,
+        )
+    )
+    Xw = _dense_X_oracle(p, ct, atom_elem, atom_charge, cb, high_G, low_G, loop_G, tol)
+    np.testing.assert_allclose(X, Xw, rtol=1e-10, atol=1e-300)
+    assert (np.abs(X[2:, 2:]) > 0).any()
+    # tunnel terms present?
+    off_rail = X[2:, 2:].copy()
+    nbrmask = np.zeros_like(off_rail, bool)
+    apos = np.asarray(ct.atom_pos)
+    d = np.sqrt(((apos[:, None] - apos[None, :]) ** 2).sum(-1))
+    nbrmask = d < p.nn_dist
+    assert (np.abs(np.where(nbrmask, 0, off_rail)) > 0).any(), "no tunnel pairs in toy"
+
+
+def test_cg_solve_vs_dense_lu(setup):
+    import jax.numpy as jnp
+
+    from akmc_tpu.solvers.current import (
+        assemble_dense_X,
+        build_power_system,
+        solve_power,
+    )
+
+    p, lat, ct, atom_elem, atom_charge, cb = setup
+    high_G = p.high_G * 100000
+    low_G = p.low_G
+    loop_G = p.high_G * 10000000
+    G0 = 2 * 3.8612e-5 * 1e-5
+    tol = p.q * 0.01
+    Vd = 2.0
+    n_atom = len(atom_elem)
+
+    # dense-LU reference result (mirrors the hipsolver getrf/getrs path)
+    X = np.asarray(
+        assemble_dense_X(
+            ct, jnp.asarray(atom_elem), jnp.asarray(atom_charge), jnp.asarray(cb),
+            jnp.asarray(np.asarray(p.lattice)), False, p.nn_dist,
+            high_G, low_G, loop_G, tol, p.m_e, p.V0, ne_max=512,
+        )
+    )
+    b = np.zeros(n_atom + 1)
+    b[0] = -loop_G * Vd
+    b[1] = loop_G * Vd
+    m_lu = np.zeros(n_atom + 2)
+    m_lu[: n_atom + 1] = np.linalg.solve(X[: n_atom + 1, : n_atom + 1], b)
+    m_lu_scaled = m_lu * G0
+    ext = np.asarray(ct.ext_tie)
+    I_ref = float(
+        np.sum(np.where(ext, -high_G * (m_lu_scaled[0] - m_lu_scaled[2:]), 0.0))
+    )
+
+    ps = build_power_system(
+        ct, jnp.asarray(atom_elem), jnp.asarray(atom_charge), jnp.asarray(cb),
+        jnp.asarray(np.asarray(p.lattice)), False, p.nn_dist,
+        high_G, low_G, loop_G, tol, p.m_e, p.V0, vmax=64, ne_max=512,
+    )
+    I_macro, atom_power, m, iters = solve_power(
+        ct, ps, Vd, high_G, loop_G, G0, 1.0,
+        jnp.zeros(n_atom + 2), jnp.asarray(atom_elem),
+    )
+
+    assert int(iters) < 10000
+    # m agrees with LU on the physically-determined components; atoms coupled
+    # only through ~low_G edges have indeterminate virtual potentials at the
+    # solver tolerance (same for the reference's CG vs its dense LU), so
+    # compare only rows with appreciable diagonal.
+    d = np.concatenate([[float(ps.diag0), float(ps.diag1)], np.asarray(ps.diag)[:-1]])
+    strong = d > 1e-3 * high_G
+    np.testing.assert_allclose(
+        np.asarray(m)[: n_atom + 1][strong], m_lu[: n_atom + 1][strong],
+        rtol=1e-6, atol=1e-7,
+    )
+    assert I_ref != 0.0
+    np.testing.assert_allclose(float(I_macro), I_ref, rtol=1e-4)
+
+    # power: non-negative on non-metal atoms, zero on metals
+    ap = np.asarray(atom_power)
+    is_metal = np.asarray(ct.atom_is_metal)
+    assert (ap[is_metal] == 0).all()
+    assert np.isfinite(ap).all()
+
+
+def test_power_system_operator_matches_dense(setup):
+    """A(v) from the split pieces == dense X principal block times v."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.solvers.current import (
+        _X_atoms_matvec,
+        assemble_dense_X,
+        build_power_system,
+    )
+
+    p, lat, ct, atom_elem, atom_charge, cb = setup
+    high_G = p.high_G * 100000
+    low_G = p.low_G
+    loop_G = p.high_G * 10000000
+    tol = p.q * 0.01
+    n_atom = len(atom_elem)
+
+    X = np.asarray(
+        assemble_dense_X(
+            ct, jnp.asarray(atom_elem), jnp.asarray(atom_charge), jnp.asarray(cb),
+            jnp.asarray(np.asarray(p.lattice)), False, p.nn_dist,
+            high_G, low_G, loop_G, tol, p.m_e, p.V0, ne_max=512,
+        )
+    )
+    ps = build_power_system(
+        ct, jnp.asarray(atom_elem), jnp.asarray(atom_charge), jnp.asarray(cb),
+        jnp.asarray(np.asarray(p.lattice)), False, p.nn_dist,
+        high_G, low_G, loop_G, tol, p.m_e, p.V0, vmax=64, ne_max=512,
+    )
+
+    rng = np.random.RandomState(1)
+    va = rng.randn(n_atom)
+    # atom-block action: (diag_atoms + offdiag) va vs dense X[2:,2:] @ va
+    y_split = np.asarray(
+        ps.diag * jnp.asarray(va) + _X_atoms_matvec(ct, ps, jnp.asarray(va))
+    )
+    y_dense = X[2:, 2:] @ va
+    np.testing.assert_allclose(y_split, y_dense, rtol=1e-9, atol=1e-9 * np.abs(y_dense).max())
