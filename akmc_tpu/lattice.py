@@ -291,6 +291,7 @@ def build_lattice(
     z: np.ndarray,
     params,
     cache_dir: Optional[str] = None,
+    need_cutoff_table: bool = False,
 ) -> Lattice:
     """Construct connectivity (optionally cached on disk — positions are
     static, so lists are reusable across runs of the same structure)."""
@@ -332,9 +333,15 @@ def build_lattice(
                 )
             else:
                 k_neigh_idx = neigh_idx
-            cutoff_idx, _ = build_cutoff_list_device(
-                pos, element, params.cutoff_radius
-            )
+            if need_cutoff_table:
+                cutoff_idx, _ = build_cutoff_list_device(
+                    pos, element, params.cutoff_radius
+                )
+            else:
+                # the pairwise op now uses charged-site compaction at runtime
+                # (ops/pairwise.py); the explicit candidate table is only
+                # needed for parity tooling
+                cutoff_idx = np.zeros((len(x), 0), np.int32)
         except ImportError:
             neigh_idx = build_neighbor_list(
                 pos, params.nn_dist, params.max_num_neighbors
@@ -346,7 +353,10 @@ def build_lattice(
                 )
             else:
                 k_neigh_idx = neigh_idx
-            cutoff_idx, _ = build_cutoff_list(pos, element, params.cutoff_radius)
+            if need_cutoff_table:
+                cutoff_idx, _ = build_cutoff_list(pos, element, params.cutoff_radius)
+            else:
+                cutoff_idx = np.zeros((len(x), 0), np.int32)
         if cache_path:
             os.makedirs(cache_dir, exist_ok=True)
             np.savez_compressed(

@@ -61,6 +61,7 @@ class FieldsResult(NamedTuple):
     P: jax.Array                    # (N, NN) event rates
     etype: jax.Array                # (N, NN) event types
     cg_iterations: jax.Array
+    q_overflow: jax.Array           # charged count exceeded the static cap
 
 
 @dataclass
@@ -69,6 +70,7 @@ class VCMModel:
 
     params: KMCParameters
     lat: Lattice
+    qmax: int = 4096                # static cap on charged-site count
 
     tables: StaticTables = field(init=False)
 
@@ -131,8 +133,8 @@ class VCMModel:
             p.num_atoms_first_layer,
         )
 
-        pot_pair = pairwise_potential(
-            t.pos, charge, t.cutoff_idx, p.sigma, p.k
+        pot_pair, q_overflow = pairwise_potential(
+            t.pos, charge, p.cutoff_radius, p.sigma, p.k, qmax=self.qmax
         )
         pot_sum = pot_pair + pot_boundary   # sum_AB_into_A (psg.cu:1130-1151)
 
@@ -159,6 +161,7 @@ class VCMModel:
             P=P,
             etype=etype,
             cg_iterations=cg.iterations,
+            q_overflow=q_overflow,
         )
 
     def _events(self, t: StaticTables, element, charge, P, etype, rand_buf, event_time_in):
@@ -208,6 +211,11 @@ class VCMModel:
             state.T_bg, Vd,
         )
 
+        if bool(fr.q_overflow):
+            raise RuntimeError(
+                f"charged-site count exceeded qmax={self.qmax}; rebuild the "
+                f"model with a larger cap"
+            )
         element, charge, P = state.element, fr.charge, fr.P
         n_events = 0
         ev_time = jnp.asarray(0.0, jnp.float64)

@@ -6,21 +6,31 @@ Reference: poisson_gridless_gpu / calculate_pairwise_interaction_indexed
     potential[i] = sum_{j in cutoff_idx[i], charge_j != 0}
                    charge_j * erfc(d_ij / (sigma*sqrt(2))) * k * e / d_ij
 
-with d_ij = 1e-10 * Euclidean (NON-PBC) distance — the candidate list was
+with d_ij = 1e-10 * Euclidean (NON-PBC) distance and a candidate list
 prefiltered at build time to possibly-charged sites within the 20 A cutoff
-(neighbor_lists_gpu.cu:107-136); positions are static so the list never needs
-rebuilding.
+(neighbor_lists_gpu.cu:107-136).
 
-TPU realization: the candidate table is a padded (N, N_cutoff) gather.  To
-bound transient memory, rows are processed in blocks via ``lax.map`` — each
-block is a fused gather + VPU pass (erfc/rsqrt), no host involvement, no
-MPI_Gatherv. A Pallas streaming kernel is a planned upgrade for the
-charged-compaction formulation.
+TPU realization — NOT the reference's indexed gather (a (N, ~4e3) gather
+table is the slowest possible TPU access pattern). Key observation: the
+summand is nonzero only for *currently charged* sites (charge != 0 implies
+the possibly-charged class, and positions are static), so
+
+    potential[i] = sum_{q in charged, d_iq < cutoff, q != i} q * g(d_iq)
+
+over a COMPACTED charged-site list (|charged| = #V + #Od << N). Distances
+come from the MXU:  d^2 = |x_i|^2 + |x_q|^2 - 2 x_i . x_q  — one (N,3)x(3,Q)
+matmul — and the erfc/mask/sum is one fused VPU pass over (N, Q). This is
+mathematically identical to the reference's candidate-list sum (same pairs,
+same distances); only the float accumulation order differs.
+
+The charged count must fit the static cap ``qmax``; ``pairwise_potential``
+returns an overflow flag the host checks per superstep.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,33 +43,44 @@ Q_E = 1.60217663e-19
 def pairwise_potential(
     pos: jnp.ndarray,          # (N, 3) f64 [Angstrom]
     charge: jnp.ndarray,       # (N,) int32
-    cutoff_idx: jnp.ndarray,   # (N, C) int32, -1 padded
+    cutoff_radius: float,      # [Angstrom]
     sigma: float,              # [m]
     k: float,                  # [N m^2 / C^2]
+    qmax: int = 2048,
     row_block: int = 4096,
-) -> jnp.ndarray:
-    """(N,) f64 potential from charged defects [V]."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns ((N,) potential [V], overflow flag)."""
     n = pos.shape[0]
-    c = cutoff_idx.shape[1]
+    dt = pos.dtype
+
+    charged = charge != 0
+    n_charged = jnp.sum(charged)
+    q_idx = jnp.nonzero(charged, size=qmax, fill_value=-1)[0].astype(jnp.int32)
+    qv = q_idx >= 0
+    qi = q_idx.clip(0)
+
+    q_pos = pos[qi]                                   # (Q, 3)
+    q_val = jnp.where(qv, charge[qi], 0).astype(dt)   # (Q,)
+
+    inv_sig = 1.0 / (sigma * jnp.sqrt(jnp.asarray(2.0, dt)))
+    cut2 = jnp.asarray(cutoff_radius * cutoff_radius, dt)
+    kq = k * Q_E
+
     nblk = -(-n // row_block)
     npad = nblk * row_block
-
-    idx_p = jnp.full((npad, c), -1, cutoff_idx.dtype).at[:n].set(cutoff_idx)
-    rows = jnp.arange(npad).reshape(nblk, row_block)
-
-    qf = charge.astype(pos.dtype)
-    inv_sig = 1.0 / (sigma * jnp.sqrt(jnp.asarray(2.0, pos.dtype)))
+    pos_p = jnp.concatenate([pos, jnp.full((npad - n, 3), 1e30, dt)])
+    rows = jnp.arange(npad, dtype=jnp.int32).reshape(nblk, row_block)
 
     def block(r):
-        ji = idx_p[r]                       # (B, C)
-        j = ji.clip(0)
-        rr = r.clip(0, n - 1)
-        d2 = jnp.sum((pos[rr][:, None, :] - pos[j]) ** 2, axis=-1)
-        d = 1e-10 * jnp.sqrt(d2)
-        qj = qf[j]
-        valid = (ji >= 0) & (qj != 0.0)
-        v = qj * erfc(d * inv_sig) * (k * Q_E) / jnp.where(d > 0, d, 1.0)
+        pr = pos_p[r]                                  # (B, 3)
+        # exact difference-based d^2 (same rounding class as the reference's
+        # site_dist_gpu) — XLA fuses the (B, Q, 3) broadcast into the
+        # reduction, no materialization
+        d2 = jnp.sum((pr[:, None, :] - q_pos[None, :, :]) ** 2, axis=-1)
+        valid = (d2 < cut2) & (r[:, None] != q_idx[None, :]) & qv[None, :]
+        d = 1e-10 * jnp.sqrt(jnp.where(valid, d2, 1.0))
+        v = q_val[None, :] * erfc(d * inv_sig) * kq / d
         return jnp.sum(jnp.where(valid, v, 0.0), axis=1)
 
-    out = lax.map(block, rows)              # (nblk, B)
-    return out.reshape(npad)[:n]
+    out = lax.map(block, rows).reshape(npad)[:n]
+    return out, n_charged > qmax

@@ -286,12 +286,12 @@ def test_pairwise_vs_oracle(toy):
     charge[od] = -2
 
     pos = jnp.asarray(np.stack([lat.x, lat.y, lat.z], 1))
-    got = np.asarray(
-        pairwise_potential(
-            pos, jnp.asarray(charge), jnp.asarray(lat.cutoff_idx),
-            p.sigma, p.k, row_block=64,
-        )
+    got_j, overflow = pairwise_potential(
+        pos, jnp.asarray(charge), p.cutoff_radius,
+        p.sigma, p.k, qmax=64, row_block=64,
     )
+    got = np.asarray(got_j)
+    assert not bool(overflow)
     want = _pairwise_oracle(p, lat, charge)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-18)
     assert np.abs(got).max() > 0
