@@ -1,0 +1,71 @@
+"""Headline benchmark: steady-state KMC superstep wall-clock on the 5 nm
+device (N = 37,650 sites), single TPU chip.
+
+Baseline: the reference's shipped timing on one LUMI-G MI250X GCD —
+0.0115928 s/superstep (structures/5nm_device/expected_output/output1_0.txt:18;
+BASELINE.md). ``vs_baseline`` is baseline/ours (>1 = faster than reference).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_SUPERSTEP_S = 0.0115928
+REF_5NM = "/root/reference/structures/5nm_device"
+
+
+def main():
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jaxcache"),
+    )
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from akmc_tpu.config import KMCParameters
+    from akmc_tpu.lattice import build_lattice, read_xyz
+    from akmc_tpu.models.vcm import VCMModel
+    from akmc_tpu.rng import BufferedStream, ReferenceRNG
+    from akmc_tpu.state import make_device_state, make_substoichiometric
+
+    p = KMCParameters.from_file(os.path.join(REF_5NM, "parameters.txt"))
+    e, x, y, z = read_xyz(os.path.join(REF_5NM, "reordered_device_5.xyz"))
+    e = make_substoichiometric(e, p.initial_vacancy_concentration, ReferenceRNG(p.rnd_seed))
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    lat = build_lattice(e, x, y, z, p, cache_dir=cache)
+    model = VCMModel(p, lat)
+    state = make_device_state(lat, p.background_temp)
+    stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
+    Vd = p.V_switch[0]
+
+    # warm-up (compile + first CG from zero guess)
+    state, _ = model.superstep(state, Vd, stream, rand_chunk=2048)
+
+    times = []
+    n_steps = 8
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        state, stats = model.superstep(state, Vd, stream, rand_chunk=2048)
+        times.append(time.perf_counter() - t0)
+
+    val = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "5nm_superstep_wall_clock",
+                "value": val,
+                "unit": "s",
+                "vs_baseline": BASELINE_SUPERSTEP_S / val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
