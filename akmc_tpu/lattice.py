@@ -316,44 +316,57 @@ def build_lattice(
         k_neigh_idx = data["k_neigh_idx"]
         cutoff_idx = data["cutoff_idx"]
     else:
-        # device-accelerated builders (fall back to numpy if jax unusable)
-        try:
-            from akmc_tpu.lattice_jax import (
-                build_cutoff_list_device,
-                build_neighbor_list_device,
-            )
+        # builder priority: native C++ cell lists > device (TPU) top_k scan
+        # > numpy reference scan — all three produce identical tables
+        from akmc_tpu import native as _native
 
-            neigh_idx = build_neighbor_list_device(
+        if _native.available():
+            neigh_idx = _native.neighbor_list_cell(
                 pos, params.nn_dist, params.max_num_neighbors
             )
             if params.pbc:
-                k_neigh_idx = build_neighbor_list_device(
+                k_neigh_idx = _native.neighbor_list_cell(
                     pos, params.nn_dist, params.max_num_neighbors,
-                    lattice_dims, True,
+                    lattice_dims, pbc=True,
                 )
             else:
                 k_neigh_idx = neigh_idx
             if need_cutoff_table:
-                cutoff_idx, _ = build_cutoff_list_device(
-                    pos, element, params.cutoff_radius
-                )
+                cutoff_idx, _ = build_cutoff_list(pos, element, params.cutoff_radius)
             else:
-                # the pairwise op now uses charged-site compaction at runtime
-                # (ops/pairwise.py); the explicit candidate table is only
-                # needed for parity tooling
                 cutoff_idx = np.zeros((len(x), 0), np.int32)
-        except ImportError:
-            neigh_idx = build_neighbor_list(
-                pos, params.nn_dist, params.max_num_neighbors
-            )
-            if params.pbc:
-                k_neigh_idx = build_k_adjacency(
-                    pos, params.nn_dist, params.max_num_neighbors,
-                    lattice_dims, True,
+        else:
+            try:
+                from akmc_tpu.lattice_jax import (
+                    build_cutoff_list_device,
+                    build_neighbor_list_device,
                 )
-            else:
-                k_neigh_idx = neigh_idx
+
+                neigh_idx = build_neighbor_list_device(
+                    pos, params.nn_dist, params.max_num_neighbors
+                )
+                if params.pbc:
+                    k_neigh_idx = build_neighbor_list_device(
+                        pos, params.nn_dist, params.max_num_neighbors,
+                        lattice_dims, True,
+                    )
+                else:
+                    k_neigh_idx = neigh_idx
+            except ImportError:
+                neigh_idx = build_neighbor_list(
+                    pos, params.nn_dist, params.max_num_neighbors
+                )
+                if params.pbc:
+                    k_neigh_idx = build_k_adjacency(
+                        pos, params.nn_dist, params.max_num_neighbors,
+                        lattice_dims, True,
+                    )
+                else:
+                    k_neigh_idx = neigh_idx
             if need_cutoff_table:
+                # the pairwise op uses charged-site compaction at runtime
+                # (ops/pairwise.py); this explicit candidate table is only
+                # parity tooling
                 cutoff_idx, _ = build_cutoff_list(pos, element, params.cutoff_radius)
             else:
                 cutoff_idx = np.zeros((len(x), 0), np.int32)
