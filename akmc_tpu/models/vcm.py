@@ -29,6 +29,13 @@ from akmc_tpu.ops.charge import update_charge
 from akmc_tpu.ops.events import EventLoopResult, build_event_table, run_event_loop
 from akmc_tpu.ops.pairwise import pairwise_potential
 from akmc_tpu.rng import ReferenceRNG
+from akmc_tpu.solvers.current import (
+    CurrentTables,
+    build_current_tables,
+    build_power_system,
+    solve_power,
+)
+from akmc_tpu.solvers.heat import update_temperature_global
 from akmc_tpu.solvers.poisson import solve_cb_edge, solve_potential_boundary
 from akmc_tpu.state import DeviceState
 
@@ -71,6 +78,8 @@ class VCMModel:
     params: KMCParameters
     lat: Lattice
     qmax: int = 4096                # static cap on charged-site count
+    vmax: int = 2048                # static cap on vacancy count (tunnel block)
+    ne_max: int = 2048              # energy-integration steps cap (WKB)
 
     tables: StaticTables = field(init=False)
 
@@ -115,6 +124,8 @@ class VCMModel:
         self._fields_jit = jax.jit(self._fields)
         self._events_jit = jax.jit(self._events)
         self._cb_jit = jax.jit(self._cb)
+        self._power_jit = None          # built lazily (full-physics mode)
+        self._current_tables = None
 
     # ------------------------------------------------------------------
     def _fields(self, t: StaticTables, element, charge, potential_boundary_prev, T_bg, Vd):
@@ -248,3 +259,71 @@ class VCMModel:
     def update_cb_edge(self, state: DeviceState, Vd: float) -> DeviceState:
         cb, _ = self._cb_jit(self.tables, state.element, state.charge, state.cb_edge, Vd)
         return state._replace(cb_edge=cb)
+
+    # ------------------------------------------------------------------
+    # full-physics current/power/heating (dead code in the committed
+    # reference — comm_T nulled, KMC_comm.h:243; dense spec:
+    # update_power_gpu, current_solver_gpu.cu:2382-2573)
+    # ------------------------------------------------------------------
+    @property
+    def current_tables(self) -> CurrentTables:
+        if self._current_tables is None:
+            p, lat = self.params, self.lat
+            pos = np.stack([lat.x, lat.y, lat.z], axis=1)
+            self._current_tables = build_current_tables(
+                lat.element0, pos, np.asarray(p.lattice), bool(p.pbc),
+                p.nn_dist, p.metals, p.num_atoms_first_layer,
+                p.num_atoms_first_layer, p.num_layers_contact,
+                max_num_neighbors=p.max_num_neighbors,
+            )
+        return self._current_tables
+
+    @property
+    def n_atom(self) -> int:
+        return int(self.current_tables.atom_ind.shape[0])
+
+    def _power(self, ct, element, charge, cb_edge, m_prev, Vd):
+        p = self.params
+        high_G = p.high_G * 100000          # kmc_main.cpp:294-302 constants
+        loop_G = p.high_G * 10000000
+        G0 = 2 * 3.8612e-5 * 1e-5
+        tol = p.q * 0.01
+        alpha = 1.0                          # kmc_main.cpp:302 (p.alpha unused)
+
+        atom_elem = element[ct.atom_ind]
+        atom_charge = charge[ct.atom_ind]
+        atom_cb = cb_edge[ct.atom_ind]
+        ps = build_power_system(
+            ct, atom_elem, atom_charge, atom_cb,
+            jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), p.nn_dist,
+            high_G, p.low_G, loop_G, tol, p.m_e, p.V0,
+            vmax=self.vmax, ne_max=self.ne_max,
+        )
+        I_macro, atom_power, m, iters = solve_power(
+            ct, ps, Vd, high_G, loop_G, G0, alpha, m_prev, atom_elem
+        )
+        n = element.shape[0]
+        site_power = jnp.zeros(n, atom_power.dtype).at[ct.atom_ind].set(atom_power)
+        return I_macro, site_power, m, iters
+
+    def update_power(self, state: DeviceState, Vd: float, m_prev=None):
+        """Current + dissipated power (+ returns I_macro [A])."""
+        ct = self.current_tables
+        if self._power_jit is None:
+            self._power_jit = jax.jit(self._power)
+        if m_prev is None:
+            m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
+        I_macro, site_power, m, iters = self._power_jit(
+            ct, state.element, state.charge, state.cb_edge, m_prev, Vd
+        )
+        return state._replace(power=site_power), float(I_macro), m, int(iters)
+
+    def update_temperature(self, state: DeviceState, event_time: float) -> DeviceState:
+        """Global capacitative heating (Device::updateTemperature,
+        heat_solver.cpp:106-140), applied over the superstep's event time."""
+        p = self.params
+        T_new = update_temperature_global(
+            state.T_bg, state.power, event_time, p.dissipation_constant,
+            p.background_temp, p.t_ox, p.A, p.c_p,
+        )
+        return state._replace(T_bg=T_new)

@@ -83,8 +83,16 @@ def run(
     max_supersteps: Optional[int] = None,
     cache_dir: Optional[str] = None,
     log: bool = True,
+    committed_parity: bool = True,
 ) -> dict:
-    """Run the full bias sweep. Returns summary metrics."""
+    """Run the full bias sweep. Returns summary metrics.
+
+    committed_parity=True reproduces the reference binary's committed state,
+    in which the whole current/heat branch is dead code (comm_T is
+    unconditionally nulled, KMC_comm.h:243, killing setLaplacePotential,
+    initialize_sparsity_T and update_power_* at kmc_main.cpp:222, 270, 463).
+    Set False for the full intended physics (CB edge + current + power +
+    heating)."""
     p = KMCParameters.from_file(param_file)
     base_dir = os.path.dirname(os.path.abspath(param_file))
 
@@ -115,7 +123,7 @@ def run(
         out.write(f"Applied Voltage = {_g(Vd)} V\n")
         out.write("--------------------------------\n")
 
-        if p.solve_current:
+        if p.solve_current and not committed_parity:
             state = model.update_cb_edge(state, Vd)
 
         folder = os.path.join(workdir, f"Results_{Vd:.6f}")
@@ -207,12 +215,18 @@ def main():
     ap.add_argument("--workdir", default=".")
     ap.add_argument("--max-supersteps", type=int, default=None)
     ap.add_argument("--cache-dir", default=".cache")
+    ap.add_argument(
+        "--full-physics", action="store_true",
+        help="enable the current/power/heating branch the committed "
+             "reference dead-codes (comm_T nulled)",
+    )
     args = ap.parse_args()
     summary = run(
         args.parameters,
         workdir=args.workdir,
         max_supersteps=args.max_supersteps,
         cache_dir=args.cache_dir,
+        committed_parity=not args.full_physics,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 
