@@ -49,7 +49,7 @@ class StaticTables(NamedTuple):
     neigh_idx: jax.Array
     k_neigh_idx: jax.Array
     cutoff_idx: jax.Array
-    dist_nn: jax.Array
+    self2_nn: jax.Array           # v_solve(d_ij, 2) on the neighbor table
     layer_nbr: jax.Array
     any_metal_nbr: jax.Array
     metal_edge: jax.Array
@@ -77,8 +77,8 @@ class VCMModel:
 
     params: KMCParameters
     lat: Lattice
-    qmax: int = 4096                # static cap on charged-site count
-    vmax: int = 2048                # static cap on vacancy count (tunnel block)
+    qmax: Optional[int] = None      # static cap on charged-site count
+    vmax: Optional[int] = None      # static cap on vacancy count (tunnel block)
     ne_max: int = 2048              # energy-integration steps cap (WKB)
 
     tables: StaticTables = field(init=False)
@@ -90,20 +90,35 @@ class VCMModel:
         pos_np = np.stack([lat.x, lat.y, lat.z], axis=1)
 
         # neighbor distances for event self-interaction terms: non-PBC
-        # Euclidean, in meters (kmc_events.cu:154-155); padded slots -> 1.0
+        # Euclidean, in meters (kmc_events.cu:154-155); padded slots -> 1.0.
+        # Positions are static, so the screened-Coulomb self-interaction
+        # kernel v_solve(d, 2) is precomputed once (no runtime erfc).
+        from scipy.special import erfc as _erfc
+
         jc = np.clip(lat.neigh_idx, 0, None)
         d = np.sqrt(((pos_np[:, None, :] - pos_np[jc]) ** 2).sum(-1)) * 1e-10
         d[lat.neigh_idx < 0] = 1.0
+        q_e = 1.60217663e-19
+        self2 = 2.0 * _erfc(d / (p.sigma * np.sqrt(2.0))) * p.k * q_e / d
 
         is_metal_np = metal_mask(lat.element0, p.metals)
         kjc = np.clip(lat.k_neigh_idx, 0, None)
+
+        # adaptive static caps: sized from the initial defect population with
+        # headroom; the superstep doubles them (one recompile) on overflow
+        n_v = int((lat.element0 == int(ELEM.VACANCY)).sum())
+        n_od = int((lat.element0 == int(ELEM.OXYGEN_DEFECT)).sum())
+        if self.qmax is None:
+            self.qmax = _next_pow2(max(256, 2 * (n_v + n_od)))
+        if self.vmax is None:
+            self.vmax = _next_pow2(max(256, 2 * max(n_v, 1)))
 
         self.tables = StaticTables(
             pos=jnp.asarray(pos_np, f64),
             neigh_idx=jnp.asarray(lat.neigh_idx, jnp.int32),
             k_neigh_idx=jnp.asarray(lat.k_neigh_idx, jnp.int32),
             cutoff_idx=jnp.asarray(lat.cutoff_idx, jnp.int32),
-            dist_nn=jnp.asarray(d, f64),
+            self2_nn=jnp.asarray(self2, f64),
             layer_nbr=jnp.asarray(lat.site_layer[jc], jnp.int32),
             any_metal_nbr=jnp.asarray(
                 (is_metal_np[jc] & (lat.neigh_idx >= 0)).any(axis=1)
@@ -155,7 +170,7 @@ class VCMModel:
             pot_sum,
             T_bg,
             t.neigh_idx,
-            t.dist_nn,
+            t.self2_nn,
             t.layer_nbr,
             t.E_gen,
             t.E_rec,
@@ -222,10 +237,14 @@ class VCMModel:
             state.T_bg, Vd,
         )
 
-        if bool(fr.q_overflow):
-            raise RuntimeError(
-                f"charged-site count exceeded qmax={self.qmax}; rebuild the "
-                f"model with a larger cap"
+        while bool(fr.q_overflow):
+            # grow the charged-site cap and re-trace (rare: the defect
+            # population roughly doubled since model construction)
+            self.qmax *= 2
+            self._fields_jit = jax.jit(self._fields)
+            fr = self._fields_jit(
+                self.tables, state.element, state.charge,
+                state.potential_boundary, state.T_bg, Vd,
             )
         element, charge, P = state.element, fr.charge, fr.P
         n_events = 0
@@ -327,3 +346,10 @@ class VCMModel:
             p.background_temp, p.t_ox, p.A, p.c_p,
         )
         return state._replace(T_bg=T_new)
+
+
+def _next_pow2(v: int) -> int:
+    n = 1
+    while n < v:
+        n *= 2
+    return n

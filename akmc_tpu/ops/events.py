@@ -59,7 +59,7 @@ def build_event_table(
     potential: jnp.ndarray,      # (N,) f64 summed site potential [V]
     T_bg: jnp.ndarray,           # () f64 [K]
     neigh_idx: jnp.ndarray,      # (N, NN) int32, -1 padded
-    dist_nn: jnp.ndarray,        # (N, NN) f64 neighbor distances [m] (static)
+    self2_nn: jnp.ndarray,       # (N, NN) f64 v_solve(d_ij, 2) [V] (static)
     layer_nbr: jnp.ndarray,      # (N, NN) int32 layer id of neighbor (static)
     E_gen: jnp.ndarray,          # (num_layers,) f64 [eV] per-layer energies
     E_rec: jnp.ndarray,
@@ -89,8 +89,10 @@ def build_event_table(
     is_vdiff = (ei == int(ELEM.VACANCY)) & (ej == int(ELEM.O))
     is_odiff = (ei == int(ELEM.OXYGEN_DEFECT)) & (ej == int(ELEM.DEFECT))
 
-    self_2 = v_solve(dist_nn, 2.0, sigma, k)            # |charge| = 2 kernel
-    self_qi = v_solve(dist_nn, qi, sigma, k)
+    # v_solve is linear in charge: v_solve(d, q) = (q/2) * v_solve(d, 2),
+    # and distances are static, so the erfc kernel is fully precomputed
+    self_2 = self2_nn
+    self_qi = (qi / 2.0) * self2_nn
 
     # zero-field activation energies by the NEIGHBOR's layer
     # (kmc_events.cu:162, 178, 199, 217)

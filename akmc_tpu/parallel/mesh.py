@@ -48,7 +48,7 @@ _ROW_SHARDED = (
     "neigh_idx",
     "k_neigh_idx",
     "cutoff_idx",
-    "dist_nn",
+    "self2_nn",
     "layer_nbr",
     "metal_edge",
     "metal_or_edge",

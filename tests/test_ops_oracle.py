@@ -360,7 +360,7 @@ def test_event_table_vs_oracle(toy):
     t = model.tables
     P, T = build_event_table(
         jnp.asarray(elem), jnp.asarray(charge), jnp.asarray(potential),
-        jnp.asarray(300.0), t.neigh_idx, t.dist_nn, t.layer_nbr,
+        jnp.asarray(300.0), t.neigh_idx, t.self2_nn, t.layer_nbr,
         t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
         p.freq, p.sigma, p.k,
     )
