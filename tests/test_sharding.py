@@ -1,0 +1,83 @@
+"""Multi-device sharding: the superstep on an 8-device 'sites' mesh must
+reproduce single-device results (the TPU-native replacement for the
+reference's MPI row decomposition, SURVEY.md §2.3)."""
+
+import jax
+import numpy as np
+import pytest
+
+from akmc_tpu.lattice import ELEM, Lattice
+from akmc_tpu.models.vcm import VCMModel
+from akmc_tpu.parallel.mesh import make_mesh, replicate_state, shard_model
+from akmc_tpu.rng import BufferedStream, ReferenceRNG
+from akmc_tpu.state import make_device_state, make_substoichiometric
+
+
+def _padded_toy(n_devices: int):
+    from tests.util_toy import toy_device
+
+    p, lat = toy_device(nx=12, ny=4, nz=4)
+    lat.element0[:] = make_substoichiometric(lat.element0, 0.2, ReferenceRNG(7))
+    n = lat.N
+    pad = (-n) % n_devices
+    if pad:
+        far = 1e6 + np.arange(pad) * 1e3
+        lat = Lattice(
+            element0=np.concatenate(
+                [lat.element0, np.full(pad, int(ELEM.Ti), np.int32)]
+            ),
+            x=np.concatenate([lat.x, far]),
+            y=np.concatenate([lat.y, np.zeros(pad)]),
+            z=np.concatenate([lat.z, np.zeros(pad)]),
+            lattice=lat.lattice,
+            pbc=lat.pbc,
+            nn_dist=lat.nn_dist,
+            neigh_idx=np.concatenate(
+                [lat.neigh_idx, np.full((pad, lat.neigh_idx.shape[1]), -1, np.int32)]
+            ),
+            k_neigh_idx=np.concatenate(
+                [lat.k_neigh_idx, np.full((pad, lat.k_neigh_idx.shape[1]), -1, np.int32)]
+            ),
+            cutoff_idx=np.concatenate(
+                [lat.cutoff_idx, np.full((pad, lat.cutoff_idx.shape[1]), -1, np.int32)]
+            ),
+            site_layer=np.concatenate(
+                [lat.site_layer, np.full(pad, len(p.layers) - 1, np.int32)]
+            ),
+        )
+    return p, lat
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_superstep_matches_single_device():
+    p, lat = _padded_toy(8)
+
+    def run(n_dev):
+        model = VCMModel(p, lat)
+        state = make_device_state(lat, p.background_temp)
+        stream = BufferedStream(ReferenceRNG(1))
+        if n_dev > 1:
+            mesh = make_mesh(n_dev)
+            shard_model(model, mesh)
+            state = replicate_state(state, mesh)
+        out = []
+        for _ in range(3):
+            state, stats = model.superstep(state, 2.0, stream)
+            out.append(stats["n_events"])
+        return state, out
+
+    s1, ev1 = run(1)
+    s8, ev8 = run(8)
+    assert ev1 == ev8
+    np.testing.assert_array_equal(np.asarray(s1.element), np.asarray(s8.element))
+    np.testing.assert_array_equal(np.asarray(s1.charge), np.asarray(s8.charge))
+    # field solves: sharded psum reduction order changes CG iterates within
+    # the solver tolerance (the K system is ill-conditioned by construction,
+    # high_G/low_G = 1e8) — compare at solver-tolerance level
+    np.testing.assert_allclose(
+        np.asarray(s1.potential_charge),
+        np.asarray(s8.potential_charge),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+    assert float(s1.kmc_time) == pytest.approx(float(s8.kmc_time), rel=1e-9)
