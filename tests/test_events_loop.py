@@ -1,0 +1,143 @@
+"""Residence-time loop semantics vs a step-by-step numpy oracle of
+execute_kmc_step_mpi (kmc_events.cu:430-528): same selection, same
+mutations, same zero-out set, same clock, same draw accounting."""
+
+import numpy as np
+import pytest
+
+from akmc_tpu.lattice import ELEM, EVENT
+from akmc_tpu.rng import ReferenceRNG
+
+
+def _loop_oracle(element, charge, P, etype, neigh_idx, rands, freq):
+    """Flat-scan residence-time loop (the reference algorithm verbatim)."""
+    element = element.copy()
+    charge = charge.copy()
+    P = P.copy()
+    n, nn = P.shape
+    ev_time = 0.0
+    cnt = 0
+    n_ev = 0
+    while ev_time < 1.0 / freq and cnt + 2 <= len(rands):
+        flat = P.reshape(-1)
+        cum = np.cumsum(flat)
+        total = cum[-1]
+        target = rands[cnt] * total
+        idx = np.searchsorted(cum, target, side="right")
+        idx = min(idx, n * nn - 1)
+        i = idx // nn
+        j = int(neigh_idx[i, idx % nn])
+        ty = int(etype[i, idx % nn])
+        # execute (execute_event, kmc_events.cu:292-331)
+        if ty == int(EVENT.VACANCY_GENERATION):
+            element[i], element[j] = int(ELEM.OXYGEN_DEFECT), int(ELEM.VACANCY)
+            charge[i], charge[j] = -2, 2
+        elif ty == int(EVENT.VACANCY_RECOMBINATION):
+            element[i], element[j] = int(ELEM.DEFECT), int(ELEM.O)
+            charge[i], charge[j] = 0, 0
+        else:
+            element[i], element[j] = element[j], element[i]
+            charge[i], charge[j] = charge[j], charge[i]
+        # zero-out (zero_out_events_split, kmc_events.cu:247-266)
+        for r in range(n):
+            for s in range(nn):
+                jj = neigh_idx[r, s]
+                if jj >= 0 and (r == i or r == j or jj == i or jj == j):
+                    P[r, s] = 0.0
+        ev_time = -np.log(rands[cnt + 1]) / total
+        cnt += 2
+        n_ev += 1
+    return element, charge, P, ev_time, n_ev, cnt
+
+
+@pytest.fixture(scope="module")
+def crafted():
+    """Small synthetic system with hand-planted event pairs."""
+    rng = np.random.RandomState(3)
+    n, nn = 64, 6
+    neigh_idx = np.full((n, nn), -1, np.int32)
+    for i in range(n):
+        nbrs = [(i + d) % n for d in (-2, -1, 1, 2)]
+        neigh_idx[i, : len(nbrs)] = sorted(nbrs)
+    element = rng.choice(
+        [int(ELEM.DEFECT), int(ELEM.O), int(ELEM.VACANCY), int(ELEM.OXYGEN_DEFECT)],
+        n,
+    ).astype(np.int32)
+    charge = np.where(element == int(ELEM.VACANCY), 2,
+                      np.where(element == int(ELEM.OXYGEN_DEFECT), -2, 0)).astype(np.int32)
+    # crafted rates: positive where the element pair matches an event class
+    P = np.zeros((n, nn))
+    etype = np.full((n, nn), int(EVENT.NULL_EVENT), np.int32)
+    pairs = {
+        (int(ELEM.DEFECT), int(ELEM.O)): int(EVENT.VACANCY_GENERATION),
+        (int(ELEM.OXYGEN_DEFECT), int(ELEM.VACANCY)): int(EVENT.VACANCY_RECOMBINATION),
+        (int(ELEM.VACANCY), int(ELEM.O)): int(EVENT.VACANCY_DIFFUSION),
+        (int(ELEM.OXYGEN_DEFECT), int(ELEM.DEFECT)): int(EVENT.ION_DIFFUSION),
+    }
+    for i in range(n):
+        for s in range(nn):
+            j = neigh_idx[i, s]
+            if j < 0:
+                continue
+            ty = pairs.get((int(element[i]), int(element[j])))
+            if ty is not None:
+                P[i, s] = 10 ** rng.uniform(10, 14)
+                etype[i, s] = ty
+    return element, charge, P, etype, neigh_idx
+
+
+def test_event_loop_vs_oracle(crafted):
+    import jax.numpy as jnp
+
+    from akmc_tpu.ops.events import run_event_loop
+
+    element, charge, P, etype, neigh_idx = crafted
+    freq = 1e14
+    rands = ReferenceRNG(1).uniform(64)
+
+    res = run_event_loop(
+        jnp.asarray(element), jnp.asarray(charge), jnp.asarray(P),
+        jnp.asarray(etype), jnp.asarray(neigh_idx), jnp.asarray(rands), freq,
+    )
+    el_o, q_o, P_o, t_o, nev_o, cnt_o = _loop_oracle(
+        element, charge, P, etype, neigh_idx, rands, freq
+    )
+    assert int(res.n_events) == nev_o
+    assert int(res.draws_used) == cnt_o
+    np.testing.assert_array_equal(np.asarray(res.element), el_o)
+    np.testing.assert_array_equal(np.asarray(res.charge), q_o)
+    np.testing.assert_array_equal(np.asarray(res.P), P_o)
+    np.testing.assert_allclose(float(res.event_time), t_o, rtol=1e-12)
+    assert nev_o >= 2  # the crafted system must actually exercise the loop
+
+
+def test_event_loop_buffer_exhaustion_resume(crafted):
+    """Splitting the rand stream across two chunk calls must equal one call."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.ops.events import run_event_loop
+
+    element, charge, P, etype, neigh_idx = crafted
+    freq = 1e14
+    rands = ReferenceRNG(1).uniform(64)
+
+    full = run_event_loop(
+        jnp.asarray(element), jnp.asarray(charge), jnp.asarray(P),
+        jnp.asarray(etype), jnp.asarray(neigh_idx), jnp.asarray(rands), freq,
+    )
+    # tiny buffer: force an exhaustion + resume
+    r1 = run_event_loop(
+        jnp.asarray(element), jnp.asarray(charge), jnp.asarray(P),
+        jnp.asarray(etype), jnp.asarray(neigh_idx), jnp.asarray(rands[:4]), freq,
+    )
+    assert not bool(r1.done)
+    used = int(r1.draws_used)
+    r2 = run_event_loop(
+        r1.element, r1.charge, r1.P, jnp.asarray(etype),
+        jnp.asarray(neigh_idx), jnp.asarray(rands[used:]), freq,
+        event_time_in=r1.event_time,
+    )
+    assert bool(r2.done)
+    assert int(r1.n_events) + int(r2.n_events) == int(full.n_events)
+    np.testing.assert_array_equal(np.asarray(r2.element), np.asarray(full.element))
+    np.testing.assert_allclose(float(r2.event_time), float(full.event_time))

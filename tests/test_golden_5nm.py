@@ -1,0 +1,48 @@
+"""Golden-output regression: run the shipped 5 nm deck end-to-end and compare
+the KMC-time trajectory against the reference's expected output
+(structures/5nm_device/expected_output/output1_0.txt) — the reference's own
+verification strategy (SURVEY.md §4.1).
+
+This is a full-device run (N=37,650, ~350 CG iterations on the first solve);
+it is skipped unless AKMC_GOLDEN=1 (set it when an accelerator is attached —
+on the 1-core CPU test platform it takes tens of minutes).
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("AKMC_GOLDEN") != "1",
+    reason="full golden run; set AKMC_GOLDEN=1 (accelerator recommended)",
+)
+
+GOLDEN_TIMES = [2.91075e-14, 5.12158e-14, 9.36848e-14, 2.6667e-13, 9.45779e-13, 1.06019e-12]
+
+
+@pytest.mark.slow
+def test_golden_5nm_trajectory(ref_5nm_dir, tmp_path):
+    from akmc_tpu.runtime.driver import run
+
+    summary = run(
+        os.path.join(ref_5nm_dir, "parameters.txt"),
+        workdir=str(tmp_path),
+        cache_dir=os.environ.get("AKMC_CACHE", "/root/repo/.cache"),
+        log=False,
+    )
+    out = open(os.path.join(tmp_path, "output1_0.txt")).read()
+    times = [float(m) for m in re.findall(r"KMC time is: ([\d.eE+-]+)", out)]
+    assert len(times) == len(GOLDEN_TIMES)
+    np.testing.assert_allclose(times, GOLDEN_TIMES, rtol=2e-3)
+
+    # final snapshot: element-wise filament state vs golden snapshot_6.xyz
+    from akmc_tpu.lattice import read_xyz
+
+    got_e, *_ = read_xyz(os.path.join(tmp_path, "Results_5.000000", "snapshot_6.xyz"))
+    want_e, *_ = read_xyz(
+        os.path.join(ref_5nm_dir, "expected_output", "Results_5.000000", "snapshot_6.xyz")
+    )
+    # same event sequence -> identical final elements
+    assert (got_e == want_e).mean() > 0.9995
