@@ -304,6 +304,8 @@ class KMCParameters:
                 p.k_th_vacancies = _read_double(line)
             if has("c_p"):
                 p.c_p = _read_double(line)
+            if has("t_ox"):
+                p.t_ox = _read_double(line)
             if has("A"):
                 dims = _read_vec_double(line)
                 a = 1.0

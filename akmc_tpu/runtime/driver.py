@@ -114,6 +114,9 @@ def run(
     state = make_device_state(lat, p.background_temp)
     kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
 
+    full_physics = p.solve_current and not committed_parity
+    m_warm = None   # virtual-potential warm start across supersteps
+
     total_steps = 0
     t_code_start = time.perf_counter()
 
@@ -141,7 +144,16 @@ def run(
 
         while kmc_time < t_bias:
             t0 = time.perf_counter()
+            I_macro = None
+            if full_physics:
+                # current + dissipated power before events
+                # (kmc_main.cpp:461-474 position in the module sequence)
+                state, I_macro, m_warm, _ = model.update_power(state, Vd, m_warm)
             state, stats = model.superstep(state, Vd, kmc_stream)
+            if full_physics and (p.solve_heating_global or p.solve_heating_local):
+                # global capacitative T update over this superstep's event
+                # time (Device::updateTemperature, heat_solver.cpp:106-140)
+                state = model.update_temperature(state, stats["event_time"])
             t1 = time.perf_counter()
             kmc_time = float(state.kmc_time)
 
@@ -154,6 +166,11 @@ def run(
             )
             out.write(f"Z - calculation time - potential from charges [s]{_g(dt)}\n")
             out.write(f"Z - calculation time - kmc events [s]{_g(dt)}\n")
+            if I_macro is not None:
+                # scraper schema (postprocessing/plot_IV.py:33)
+                out.write(f"Current [uA]: {_g(I_macro * 1e6)}\n")
+            if full_physics and p.solve_heating_global:
+                out.write(f"Global temperature [K]: {float(state.T_bg):.16f}\n")
             out.write(f"KMC time is: {_g(kmc_time)}\n")
 
             if kmc_step_count % p.output_freq == 0:
@@ -171,6 +188,8 @@ def run(
                         "step": kmc_step_count,
                         "kmc_time": kmc_time,
                         "superstep_s": dt,
+                        **({"I_macro_A": I_macro} if I_macro is not None else {}),
+                        **({"T_bg": float(state.T_bg)} if full_physics else {}),
                         **stats,
                     }
                 )
