@@ -35,6 +35,12 @@ from akmc_tpu.solvers.current import (
     build_power_system,
     solve_power,
 )
+from akmc_tpu.solvers.banded import (
+    BandedK,
+    BandMeta,
+    build_banded_k,
+    solve_potential_boundary_banded,
+)
 from akmc_tpu.solvers.heat import update_temperature_global
 from akmc_tpu.solvers.poisson import solve_cb_edge, solve_potential_boundary
 from akmc_tpu.state import DeviceState
@@ -80,6 +86,7 @@ class VCMModel:
     qmax: Optional[int] = None      # static cap on charged-site count
     vmax: Optional[int] = None      # static cap on vacancy count (tunnel block)
     ne_max: int = 2048              # energy-integration steps cap (WKB)
+    use_banded_k: bool = True       # banded-MXU K operator when band is narrow
 
     tables: StaticTables = field(init=False)
 
@@ -136,7 +143,18 @@ class VCMModel:
             E_Odiff=jnp.asarray([l.E_diff_3 for l in p.layers], f64),
         )
 
+        self.banded: Optional[BandedK] = None
+        self.band_meta: Optional[BandMeta] = None
+        if self.use_banded_k:
+            built = build_banded_k(
+                pos_np, lat.k_neigh_idx, is_metal_np, lat.element0,
+                p.num_atoms_first_layer, p.high_G, p.low_G,
+            )
+            if built is not None:
+                self.banded, self.band_meta = built
+
         self._fields_jit = jax.jit(self._fields)
+        self._fields_banded_jit = jax.jit(self._fields_banded)
         self._events_jit = jax.jit(self._events)
         self._cb_jit = jax.jit(self._cb)
         self._power_jit = None          # built lazily (full-physics mode)
@@ -190,6 +208,50 @@ class VCMModel:
             q_overflow=q_overflow,
         )
 
+    def _fields_banded(self, t: StaticTables, bk: BandedK, element, charge,
+                       potential_boundary_prev, T_bg, Vd):
+        """_fields with the banded-MXU K solve (solvers/banded.py)."""
+        p = self.params
+        charge = update_charge(element, charge, t.neigh_idx, t.any_metal_nbr)
+
+        pot_boundary, cg = solve_potential_boundary_banded(
+            bk, self.band_meta, element, charge, potential_boundary_prev, Vd,
+            p.high_G, p.low_G, p.num_atoms_first_layer, p.nn_dist,
+            jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), self.vmax,
+        )
+
+        pot_pair, q_overflow = pairwise_potential(
+            t.pos, charge, p.cutoff_radius, p.sigma, p.k, qmax=self.qmax
+        )
+        pot_sum = pot_pair + pot_boundary
+
+        P, etype = build_event_table(
+            element, charge, pot_sum, T_bg,
+            t.neigh_idx, t.self2_nn, t.layer_nbr,
+            t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+            p.freq, p.sigma, p.k,
+        )
+        return FieldsResult(
+            charge=charge,
+            potential_boundary=pot_boundary,
+            potential_sum=pot_sum,
+            P=P,
+            etype=etype,
+            cg_iterations=cg.iterations,
+            q_overflow=q_overflow,
+        )
+
+    def _run_fields(self, state: DeviceState, Vd):
+        if self.banded is not None:
+            return self._fields_banded_jit(
+                self.tables, self.banded, state.element, state.charge,
+                state.potential_boundary, state.T_bg, Vd,
+            )
+        return self._fields_jit(
+            self.tables, state.element, state.charge,
+            state.potential_boundary, state.T_bg, Vd,
+        )
+
     def _events(self, t: StaticTables, element, charge, P, etype, rand_buf, event_time_in):
         return run_event_loop(
             element,
@@ -232,20 +294,15 @@ class VCMModel:
         ``stream`` is a ``rng.BufferedStream`` over the KMC mt19937 stream.
         """
         p = self.params
-        fr = self._fields_jit(
-            self.tables, state.element, state.charge, state.potential_boundary,
-            state.T_bg, Vd,
-        )
+        fr = self._run_fields(state, Vd)
 
         while bool(fr.q_overflow):
             # grow the charged-site cap and re-trace (rare: the defect
             # population roughly doubled since model construction)
             self.qmax *= 2
             self._fields_jit = jax.jit(self._fields)
-            fr = self._fields_jit(
-                self.tables, state.element, state.charge,
-                state.potential_boundary, state.T_bg, Vd,
-            )
+            self._fields_banded_jit = jax.jit(self._fields_banded)
+            fr = self._run_fields(state, Vd)
         element, charge, P = state.element, fr.charge, fr.P
         n_events = 0
         ev_time = jnp.asarray(0.0, jnp.float64)
