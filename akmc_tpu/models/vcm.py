@@ -25,7 +25,7 @@ import numpy as np
 
 from akmc_tpu.config import KMCParameters
 from akmc_tpu.lattice import ELEM, Lattice, metal_mask
-from akmc_tpu.ops.charge import update_charge
+from akmc_tpu.ops.charge import update_charge, update_charge_compact
 from akmc_tpu.ops.events import EventLoopResult, build_event_table, run_event_loop
 from akmc_tpu.ops.pairwise import pairwise_potential
 from akmc_tpu.rng import ReferenceRNG
@@ -156,6 +156,8 @@ class VCMModel:
         self._fields_jit = jax.jit(self._fields)
         self._fields_banded_jit = jax.jit(self._fields_banded)
         self._events_jit = jax.jit(self._events)
+        self._step_jit = jax.jit(self._step_fused)
+        self._step_banded_jit = jax.jit(self._step_fused_banded)
         self._cb_jit = jax.jit(self._cb)
         self._power_jit = None          # built lazily (full-physics mode)
         self._current_tables = None
@@ -163,7 +165,9 @@ class VCMModel:
     # ------------------------------------------------------------------
     def _fields(self, t: StaticTables, element, charge, potential_boundary_prev, T_bg, Vd):
         p = self.params
-        charge = update_charge(element, charge, t.neigh_idx, t.any_metal_nbr)
+        charge = update_charge_compact(
+            element, charge, t.neigh_idx, t.any_metal_nbr, self.vmax
+        )
 
         pot_boundary, cg = solve_potential_boundary(
             element,
@@ -212,7 +216,9 @@ class VCMModel:
                        potential_boundary_prev, T_bg, Vd):
         """_fields with the banded-MXU K solve (solvers/banded.py)."""
         p = self.params
-        charge = update_charge(element, charge, t.neigh_idx, t.any_metal_nbr)
+        charge = update_charge_compact(
+            element, charge, t.neigh_idx, t.any_metal_nbr, self.vmax
+        )
 
         pot_boundary, cg = solve_potential_boundary_banded(
             bk, self.band_meta, element, charge, potential_boundary_prev, Vd,
@@ -239,6 +245,35 @@ class VCMModel:
             etype=etype,
             cg_iterations=cg.iterations,
             q_overflow=q_overflow,
+        )
+
+    def _step_fused(self, t: StaticTables, element, charge, pb_prev, T_bg, Vd, rand_buf):
+        """fields + event loop in ONE executable (one dispatch per superstep)."""
+        fr = self._fields(t, element, charge, pb_prev, T_bg, Vd)
+        res = run_event_loop(
+            element, fr.charge, fr.P, fr.etype, t.neigh_idx, rand_buf,
+            self.params.freq,
+        )
+        return fr, res
+
+    def _step_fused_banded(self, t: StaticTables, bk: BandedK, element, charge,
+                           pb_prev, T_bg, Vd, rand_buf):
+        fr = self._fields_banded(t, bk, element, charge, pb_prev, T_bg, Vd)
+        res = run_event_loop(
+            element, fr.charge, fr.P, fr.etype, t.neigh_idx, rand_buf,
+            self.params.freq,
+        )
+        return fr, res
+
+    def _run_step(self, state: DeviceState, Vd, rand_buf):
+        if self.banded is not None:
+            return self._step_banded_jit(
+                self.tables, self.banded, state.element, state.charge,
+                state.potential_boundary, state.T_bg, Vd, rand_buf,
+            )
+        return self._step_jit(
+            self.tables, state.element, state.charge,
+            state.potential_boundary, state.T_bg, Vd, rand_buf,
         )
 
     def _run_fields(self, state: DeviceState, Vd):
@@ -294,7 +329,8 @@ class VCMModel:
         ``stream`` is a ``rng.BufferedStream`` over the KMC mt19937 stream.
         """
         p = self.params
-        fr = self._run_fields(state, Vd)
+        rand_buf = jnp.asarray(stream.peek(rand_chunk))
+        fr, res = self._run_step(state, Vd, rand_buf)
 
         while bool(fr.q_overflow):
             # grow the charged-site cap and re-trace (rare: the defect
@@ -302,12 +338,18 @@ class VCMModel:
             self.qmax *= 2
             self._fields_jit = jax.jit(self._fields)
             self._fields_banded_jit = jax.jit(self._fields_banded)
-            fr = self._run_fields(state, Vd)
-        element, charge, P = state.element, fr.charge, fr.P
-        n_events = 0
-        ev_time = jnp.asarray(0.0, jnp.float64)
-        done = False
+            self._step_jit = jax.jit(self._step_fused)
+            self._step_banded_jit = jax.jit(self._step_fused_banded)
+            fr, res = self._run_step(state, Vd, rand_buf)
+
+        element, charge, P = res.element, res.charge, res.P
+        n_events = int(res.n_events)
+        ev_time = res.event_time
+        done = bool(res.done)
+        stream.advance(int(res.draws_used))
         while not done:
+            # rare: the rand buffer ran out mid-superstep — continue with
+            # events-only chunks
             rand_buf = jnp.asarray(stream.peek(rand_chunk))
             res = self._events_jit(
                 self.tables, element, charge, P, fr.etype, rand_buf, ev_time

@@ -33,7 +33,33 @@ def update_charge(
     nbr_elem = element[neigh_idx.clip(0)]
 
     vac_nbrs = jnp.sum(valid & (nbr_elem == int(ELEM.VACANCY)), axis=1)
+    return _apply_rules(element, charge, any_metal_nbr, vac_nbrs)
 
+
+def update_charge_compact(
+    element: jnp.ndarray,
+    charge: jnp.ndarray,
+    neigh_idx: jnp.ndarray,
+    any_metal_nbr: jnp.ndarray,
+    vmax: int,
+) -> jnp.ndarray:
+    """Identical rules, O(VMAX*NN) work: the vacancy-neighbor count only
+    depends on WHERE the vacancies are, so count via the compacted vacancy
+    list and the (symmetric) adjacency — a scatter-add over <= VMAX*NN
+    positions instead of an (N, NN) element gather (TPU gathers serialize
+    on the scalar unit)."""
+    is_v = element == int(ELEM.VACANCY)
+    vidx = jnp.nonzero(is_v, size=vmax, fill_value=-1)[0].astype(jnp.int32)
+    vv = vidx >= 0
+    rows = neigh_idx[vidx.clip(0)]                       # (VMAX, NN)
+    ok = (rows >= 0) & vv[:, None]
+    vac_nbrs = jnp.zeros(element.shape[0], jnp.int32).at[rows.clip(0)].add(
+        jnp.where(ok, 1, 0).astype(jnp.int32)
+    )
+    return _apply_rules(element, charge, any_metal_nbr, vac_nbrs)
+
+
+def _apply_rules(element, charge, any_metal_nbr, vac_nbrs):
     is_v = element == int(ELEM.VACANCY)
     is_od = element == int(ELEM.OXYGEN_DEFECT)
 

@@ -368,3 +368,24 @@ def test_event_table_vs_oracle(toy):
     np.testing.assert_allclose(np.asarray(P), Pw, rtol=1e-12)
     np.testing.assert_array_equal(np.asarray(T), Tw)
     assert Pw.sum() > 0
+
+
+def test_charge_update_compact_matches_full(toy):
+    import jax.numpy as jnp
+
+    from akmc_tpu.ops.charge import update_charge, update_charge_compact
+
+    p, lat = toy
+    elem = lat.element0
+    is_metal = np.isin(elem, METALS)
+    jc = np.clip(lat.neigh_idx, 0, None)
+    any_metal = (is_metal[jc] & (lat.neigh_idx >= 0)).any(axis=1)
+    a = update_charge(
+        jnp.asarray(elem), jnp.zeros(lat.N, jnp.int32),
+        jnp.asarray(lat.neigh_idx), jnp.asarray(any_metal),
+    )
+    b = update_charge_compact(
+        jnp.asarray(elem), jnp.zeros(lat.N, jnp.int32),
+        jnp.asarray(lat.neigh_idx), jnp.asarray(any_metal), vmax=64,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
