@@ -22,6 +22,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from akmc_tpu.lattice import ELEM
 
@@ -72,53 +73,128 @@ def update_temperature_global_discrete(
     return c * (1.0 - an) / (1.0 - a) + an * T_bg
 
 
-class LocalHeatTables(NamedTuple):
-    """Static pieces of the local Laplacian model over interface sites."""
+class LocalHeat(NamedTuple):
+    """Static pieces of the local Laplacian site-temperature model.
 
-    interface_mask: jnp.ndarray   # (N,) sites with a temperature DOF
-    inv_L: jnp.ndarray            # (N_if, N_if) inverse Laplacian (dense)
-    inv_L_ss: jnp.ndarray         # steady-state kernel: L^-1
-    if_idx: jnp.ndarray           # (N_if,) site index per DOF
+    The reference's updateLocalTemperature / updateLocalTemperatureSteadyState
+    (heat_solver.cpp:144-303) apply dense kernels `laplacian` / `laplacian_ss`
+    built by a constructLaplacian that is DECLARED but absent from the
+    snapshot (Device.h:195). The discretization here is therefore this
+    framework's own, stated explicitly: the graph Laplacian of the neighbor
+    network over interface sites with Dirichlet (T = T_bg) contacts,
+
+        (Lap T)_i = sum_j (T_j - T_i)   over nn neighbors j,
+
+    applied matrix-free (no dense N_if^2 kernels — TPU-native and scales to
+    crossbars): transient explicit steps T += dt_eff * (Lap T + s), and the
+    steady state solved with Jacobi-CG on -Lap T = s.
+    """
+
+    if_mask: jnp.ndarray          # (N,) interface-site mask (temperature DOFs)
+    neigh_idx: jnp.ndarray        # (N, NN)
+    deg: jnp.ndarray              # (N,) interface-neighbor counts
+    n_if: int
 
 
-def build_local_heat_tables(
-    neigh_idx, site_layer, n_contact_layers_mask, nn_dist: float, k_th: float
-):
-    raise NotImplementedError(
-        "local Laplacian heat model lands with the dense-operator pass; the "
-        "reference snapshot itself ships without constructLaplacian"
+def build_local_heat(neigh_idx, n: int, num_atoms_contact: int) -> LocalHeat:
+    import numpy as np
+
+    if_mask = np.zeros(n, bool)
+    if_mask[num_atoms_contact : n - num_atoms_contact] = True
+    valid = neigh_idx >= 0
+    nbr_if = if_mask[np.clip(neigh_idx, 0, None)] & valid
+    deg = nbr_if.sum(1)
+    return LocalHeat(
+        if_mask=jnp.asarray(if_mask),
+        neigh_idx=jnp.asarray(neigh_idx),
+        deg=jnp.asarray(deg.astype(np.float64)),
+        n_if=int(if_mask.sum()),
     )
 
 
+def _lap(lh: LocalHeat, t: jnp.ndarray) -> jnp.ndarray:
+    """Graph Laplacian action over interface DOFs; contacts enter as
+    Dirichlet values of t."""
+    valid = lh.neigh_idx >= 0
+    tj = jnp.where(valid, t[lh.neigh_idx.clip(0)], 0.0)
+    nbr_sum = jnp.sum(tj, axis=1)
+    degree = jnp.sum(valid, axis=1).astype(t.dtype)
+    return jnp.where(lh.if_mask, nbr_sum - degree * t, 0.0)
+
+
 def update_temperature_local(
+    lh: LocalHeat,
     temperature: jnp.ndarray,      # (N,) [K]
-    site_power: jnp.ndarray,
+    site_power: jnp.ndarray,       # (N,) [W]
     element: jnp.ndarray,
-    laplacian: jnp.ndarray,        # (N_if, N_if) dense transient kernel
-    if_idx: jnp.ndarray,           # (N_if,) site indices of DOFs
-    step_time,
-    tau: float,
+    step_time,                     # [s] superstep duration
+    delta_t: float,                # [s] sub-step (p.delta_t)
+    tau: float,                    # thermal rate constant [1/s] (p.tau)
     background_temp: float,
-    T_1: float,
     nn_dist_m: float,
     k_th_interface: float,
     k_th_vacancies: float,
+    n_substeps: int = 16,
 ) -> jnp.ndarray:
-    """One transient step of the local site-temperature model
-    (updateLocalTemperature, heat_solver.cpp:144-231):
-
-        T_norm = (T - T0)/(T1 - T0)
-        T_norm' = L @ T_norm + L @ (p_transfer(elem) * P * dt)
-        T <- T_norm' * (T1 - T0) + T0
-    """
+    """Transient local model: fixed number of explicit diffusion substeps
+    covering `step_time` with vacancy-dependent power-injection coefficients
+    (the reference's per-delta_t loop, heat_solver.cpp:87-95, with its
+    p_transfer source scaling, 158-161)."""
     T0 = background_temp
+    T_1 = T0 + 1000.0           # temperature scale (normalization constant)
     p_vac = 1.0 / ((nn_dist_m * k_th_interface) * (T_1 - T0))
     p_non = 1.0 / ((nn_dist_m * k_th_vacancies) * (T_1 - T0))
-
-    t_vec = (temperature[if_idx] - T0) / (T_1 - T0)
-    is_vac = element[if_idx] == int(ELEM.VACANCY)
+    is_vac = element == int(ELEM.VACANCY)
     p_coef = jnp.where(is_vac, p_vac, p_non)
-    src = site_power[if_idx] * p_coef * step_time * tau
 
-    t_new = laplacian @ (t_vec + src)
-    return temperature.at[if_idx].set(t_new * (T_1 - T0) + T0)
+    dt_eff = (step_time * tau) / n_substeps
+    # explicit-step stability: scale into the graph-Laplacian spectral bound
+    dt_eff = jnp.minimum(dt_eff, 0.2)
+    src = jnp.where(lh.if_mask, site_power * p_coef, 0.0)
+
+    t = temperature
+
+    def body(_, t):
+        return t + dt_eff * (_lap(lh, t) + src * (T_1 - T0))
+
+    t = jax.lax.fori_loop(0, n_substeps, body, t)
+    return jnp.where(lh.if_mask, t, temperature)
+
+
+def update_temperature_local_steady(
+    lh: LocalHeat,
+    temperature: jnp.ndarray,
+    site_power: jnp.ndarray,
+    element: jnp.ndarray,
+    background_temp: float,
+    nn_dist_m: float,
+    k_th_interface: float,
+    k_th_vacancies: float,
+    tol: float = 1e-10,
+) -> jnp.ndarray:
+    """Steady-state local model: solve -Lap T' = src with Dirichlet contacts
+    at T_bg (reference: updateLocalTemperatureSteadyState,
+    heat_solver.cpp:235-303, with the dense laplacian_ss replaced by CG)."""
+    from akmc_tpu.solvers.cg import jacobi_cg
+
+    T0 = background_temp
+    T_1 = T0 + 1000.0
+    p_vac = 1.0 / ((nn_dist_m * k_th_interface) * (T_1 - T0))
+    p_non = 1.0 / ((nn_dist_m * k_th_vacancies) * (T_1 - T0))
+    is_vac = element == int(ELEM.VACANCY)
+    src = jnp.where(lh.if_mask, site_power * jnp.where(is_vac, p_vac, p_non), 0.0)
+
+    valid = lh.neigh_idx >= 0
+    degree = jnp.sum(valid, axis=1).astype(temperature.dtype)
+
+    def A(u):
+        # -Lap with Dirichlet-zero contacts, identity on contact rows
+        uz = jnp.where(lh.if_mask, u, 0.0)
+        tj = jnp.where(valid, uz[lh.neigh_idx.clip(0)], 0.0)
+        y = degree * uz - jnp.sum(tj, axis=1)
+        return jnp.where(lh.if_mask, y, u)
+
+    b = src * (T_1 - T0)
+    inv_diag = jnp.where(lh.if_mask, 1.0 / jnp.maximum(degree, 1.0), 1.0)
+    res = jacobi_cg(A, b, jnp.zeros_like(b), inv_diag, tol, 20000)
+    return jnp.where(lh.if_mask, T0 + res.x, temperature)
