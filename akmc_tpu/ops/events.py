@@ -272,3 +272,81 @@ def run_event_loop(
         draws_used=cnt,
         done=ev_time >= inv_freq,
     )
+
+
+def run_event_loop_native(
+    element: jnp.ndarray,
+    charge: jnp.ndarray,
+    P: jnp.ndarray,
+    etype: jnp.ndarray,
+    neigh_idx: jnp.ndarray,
+    key: jax.Array,            # jax PRNG key (threefry)
+    freq: float,
+    max_events: int = 1 << 20,
+) -> EventLoopResult:
+    """Production-mode residence-time loop: draws come from JAX's on-device
+    threefry stream instead of the replicated host mt19937 buffer. Same
+    algorithm, different (non-reference) random stream — use for production
+    runs where bit-parity with the reference is not required. Never
+    exhausts a buffer; `draws_used` reports 2*events for accounting."""
+    n, nn = P.shape
+    inv_freq = 1.0 / freq
+    R0 = jnp.sum(P, axis=1)
+
+    def cond(c):
+        element, charge, P, R, key, cnt, ev_time, n_ev = c
+        return (ev_time < inv_freq) & (n_ev < max_events)
+
+    def body(c):
+        element, charge, P, R, key, cnt, ev_time, n_ev = c
+        key, k_sel, k_time = jax.random.split(key, 3)
+
+        cum = jnp.cumsum(R)
+        total = cum[-1]
+        target = jax.random.uniform(k_sel, dtype=P.dtype) * total
+        site = jnp.clip(
+            jnp.searchsorted(cum, target, side="right").astype(jnp.int32), 0, n - 1
+        )
+        prev = jnp.where(site > 0, cum[site - 1], 0.0)
+        row = P[site]
+        slot = jnp.clip(
+            jnp.searchsorted(jnp.cumsum(row), target - prev, side="right").astype(jnp.int32),
+            0, nn - 1,
+        )
+        isel = site
+        jsel = neigh_idx[site, slot].clip(0)
+        ety = etype[site, slot]
+        ok = total > 0.0
+
+        element2, charge2 = _execute_event(element, charge, isel, jsel, ety)
+        element = jnp.where(ok, element2, element)
+        charge = jnp.where(ok, charge2, charge)
+
+        ar = jnp.concatenate(
+            [jnp.stack([isel, jsel]), neigh_idx[isel].clip(0), neigh_idx[jsel].clip(0)]
+        )
+        rows_P = P[ar]
+        rows_nbr = neigh_idx[ar]
+        kill = (
+            (ar == isel)[:, None] | (ar == jsel)[:, None]
+            | (rows_nbr == isel) | (rows_nbr == jsel)
+        )
+        new_rows = jnp.where(kill & ok, 0.0, rows_P)
+        P = P.at[ar].set(new_rows)
+        R = R.at[ar].set(jnp.sum(new_rows, axis=1))
+
+        r_time = jax.random.uniform(k_time, dtype=P.dtype)
+        ev_time = jnp.where(ok, -jnp.log1p(-r_time) / total, jnp.inf)
+        return (element, charge, P, R, key, cnt + 2, ev_time, n_ev + 1)
+
+    init = (
+        element, charge, P, R0, key,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0.0, P.dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    element, charge, P, R, key, cnt, ev_time, n_ev = lax.while_loop(cond, body, init)
+    return EventLoopResult(
+        element=element, charge=charge, P=P, event_time=ev_time,
+        n_events=n_ev, draws_used=cnt, done=ev_time >= inv_freq,
+    )

@@ -141,3 +141,27 @@ def test_event_loop_buffer_exhaustion_resume(crafted):
     assert int(r1.n_events) + int(r2.n_events) == int(full.n_events)
     np.testing.assert_array_equal(np.asarray(r2.element), np.asarray(full.element))
     np.testing.assert_allclose(float(r2.event_time), float(full.event_time))
+
+
+def test_native_rng_loop_invariants(crafted):
+    """On-device threefry variant: same termination semantics and mutation
+    invariants (different stream by design)."""
+    import jax
+    import jax.numpy as jnp
+
+    from akmc_tpu.ops.events import run_event_loop_native
+
+    element, charge, P, etype, neigh_idx = crafted
+    res = run_event_loop_native(
+        jnp.asarray(element), jnp.asarray(charge), jnp.asarray(P),
+        jnp.asarray(etype), jnp.asarray(neigh_idx),
+        jax.random.PRNGKey(0), 1e14,
+    )
+    assert bool(res.done)
+    assert int(res.n_events) >= 1
+    el = np.asarray(res.element)
+    # V - Od count invariant
+    dv = (el == int(ELEM.VACANCY)).sum() - (el == int(ELEM.OXYGEN_DEFECT)).sum()
+    dv0 = (element == int(ELEM.VACANCY)).sum() - (element == int(ELEM.OXYGEN_DEFECT)).sum()
+    assert dv == dv0
+    assert float(res.event_time) >= 1.0 / 1e14
