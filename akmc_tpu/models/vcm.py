@@ -116,9 +116,9 @@ class VCMModel:
         n_v = int((lat.element0 == int(ELEM.VACANCY)).sum())
         n_od = int((lat.element0 == int(ELEM.OXYGEN_DEFECT)).sum())
         if self.qmax is None:
-            self.qmax = _next_pow2(max(256, 2 * (n_v + n_od)))
+            self.qmax = _round_up(max(256, int(1.5 * (n_v + n_od))), 256)
         if self.vmax is None:
-            self.vmax = _next_pow2(max(256, 2 * max(n_v, 1)))
+            self.vmax = _round_up(max(256, int(1.5 * n_v) + 1), 256)
 
         self.tables = StaticTables(
             pos=jnp.asarray(pos_np, f64),
@@ -247,6 +247,19 @@ class VCMModel:
             q_overflow=q_overflow,
         )
 
+    @staticmethod
+    def _pack_diag(fr, res):
+        # ONE scalar-diagnostics vector: each separate host pull costs a
+        # full dispatch round trip on tunneled runtimes
+        return jnp.stack([
+            res.n_events.astype(jnp.float64),
+            res.draws_used.astype(jnp.float64),
+            res.event_time,
+            res.done.astype(jnp.float64),
+            fr.cg_iterations.astype(jnp.float64),
+            fr.q_overflow.astype(jnp.float64),
+        ])
+
     def _step_fused(self, t: StaticTables, element, charge, pb_prev, T_bg, Vd, rand_buf):
         """fields + event loop in ONE executable (one dispatch per superstep)."""
         fr = self._fields(t, element, charge, pb_prev, T_bg, Vd)
@@ -254,7 +267,7 @@ class VCMModel:
             element, fr.charge, fr.P, fr.etype, t.neigh_idx, rand_buf,
             self.params.freq,
         )
-        return fr, res
+        return fr, res, self._pack_diag(fr, res)
 
     def _step_fused_banded(self, t: StaticTables, bk: BandedK, element, charge,
                            pb_prev, T_bg, Vd, rand_buf):
@@ -263,7 +276,7 @@ class VCMModel:
             element, fr.charge, fr.P, fr.etype, t.neigh_idx, rand_buf,
             self.params.freq,
         )
-        return fr, res
+        return fr, res, self._pack_diag(fr, res)
 
     def _run_step(self, state: DeviceState, Vd, rand_buf):
         if self.banded is not None:
@@ -330,9 +343,10 @@ class VCMModel:
         """
         p = self.params
         rand_buf = jnp.asarray(stream.peek(rand_chunk))
-        fr, res = self._run_step(state, Vd, rand_buf)
+        fr, res, diag = self._run_step(state, Vd, rand_buf)
+        d = np.asarray(diag)
 
-        while bool(fr.q_overflow):
+        while d[5] != 0.0:   # q_overflow
             # grow the charged-site cap and re-trace (rare: the defect
             # population roughly doubled since model construction)
             self.qmax *= 2
@@ -340,13 +354,16 @@ class VCMModel:
             self._fields_banded_jit = jax.jit(self._fields_banded)
             self._step_jit = jax.jit(self._step_fused)
             self._step_banded_jit = jax.jit(self._step_fused_banded)
-            fr, res = self._run_step(state, Vd, rand_buf)
+            fr, res, diag = self._run_step(state, Vd, rand_buf)
+            d = np.asarray(diag)
 
         element, charge, P = res.element, res.charge, res.P
-        n_events = int(res.n_events)
+        n_events = int(d[0])
         ev_time = res.event_time
-        done = bool(res.done)
-        stream.advance(int(res.draws_used))
+        done = bool(d[3] != 0.0)
+        cg_iters = int(d[4])
+        ev_time_f = float(d[2])
+        stream.advance(int(d[1]))
         while not done:
             # rare: the rand buffer ran out mid-superstep — continue with
             # events-only chunks
@@ -365,12 +382,12 @@ class VCMModel:
             charge=charge,
             potential_boundary=fr.potential_boundary,
             potential_charge=fr.potential_sum,
-            kmc_time=state.kmc_time + res.event_time,
+            kmc_time=state.kmc_time + ev_time,
         )
         stats = {
             "n_events": n_events,
-            "event_time": float(res.event_time),
-            "cg_iterations": int(fr.cg_iterations),
+            "event_time": float(ev_time) if done else ev_time_f,
+            "cg_iterations": cg_iters,
         }
         return new_state, stats
 
@@ -452,3 +469,7 @@ def _next_pow2(v: int) -> int:
     while n < v:
         n *= 2
     return n
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m

@@ -79,9 +79,13 @@ def build_event_table(
     j = neigh_idx.clip(0)
 
     ei = element[:, None]
-    ej = element[j]
+    # pack element+charge into one int gather (charge in {-2,0,2});
+    # gathers serialize on the TPU scalar unit, so halve their volume
+    code = element * 4 + (charge // 2 + 1)
+    codej = code[j]
+    ej = codej // 4
     qi = charge[:, None].astype(potential.dtype)
-    qj = charge[j].astype(potential.dtype)
+    qj = ((codej % 4) - 1).astype(potential.dtype) * 2.0
     phi = potential[:, None] - potential[j]
 
     is_gen = (ei == int(ELEM.DEFECT)) & (ej == int(ELEM.O))

@@ -139,19 +139,31 @@ def build_banded_k(
 
 def band_matvec(bk: BandedK, meta: BandMeta, x_p: jnp.ndarray) -> jnp.ndarray:
     """y = BAND @ x in the solver frame. x_p: (N,) full-length (contacts
-    included). Blocked dense matvecs — MXU work, no gathers."""
+    included).
+
+    ONE batched einsum over all blocks (a lax.map of per-block matvecs
+    serializes and measured ~0.6 ms/block in device traces). The overlapping
+    windows x[t*T - B : t*T + T + B] are assembled from ceil(W/T)+1 STATIC
+    shifted slices of the padded vector — reshapes only, no gathers."""
     n = x_p.shape[0]
     B, T, n_pad = meta.half_band, meta.block_rows, meta.n_pad
-    xe = jnp.zeros(n_pad + 2 * B, x_p.dtype).at[B : B + n].set(x_p)
+    nb = bk.blocks.shape[0]
+    W = T + 2 * B
+    npieces = -(-W // T)
 
-    starts = jnp.arange(bk.blocks.shape[0], dtype=jnp.int32) * T
+    xe = jnp.zeros(n_pad + 2 * B + npieces * T, x_p.dtype).at[B : B + n].set(x_p)
 
-    def one(args):
-        blk, s = args
-        xw = jax.lax.dynamic_slice(xe, (s,), (T + 2 * B,))
-        return blk @ xw
+    # windows[t] = xe[t*T : t*T + W]; build from static strided block views
+    pieces = [
+        jax.lax.dynamic_slice(xe, (k * T,), (nb * T,)).reshape(nb, T)
+        for k in range(npieces)
+    ]
+    windows = jnp.concatenate(pieces, axis=1)[:, :W]        # (nb, W)
 
-    y = jax.lax.map(one, (bk.blocks, starts))
+    y = jnp.einsum(
+        "btw,bw->bt", bk.blocks, windows,
+        preferred_element_type=x_p.dtype,
+    )
     return y.reshape(n_pad)[:n]
 
 
