@@ -137,6 +137,57 @@ def site_dist(
     return np.sqrt((d**2).sum(-1))
 
 
+def translate_cell(
+    x: np.ndarray, y: np.ndarray, z: np.ndarray,
+    lattice: Sequence[float], shifts: Sequence[float],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Translate coordinates across the periodic cell by fractional shifts
+    (reference: translate_cell, utils.h:124; used when `shift = 1`)."""
+    out = []
+    for arr, dim, frac in zip((x, y, z), lattice, shifts):
+        a = arr + frac * dim
+        out.append(np.where(a >= dim, a - dim, a))
+    return tuple(out)
+
+
+def sort_by_x(element, x, y, z):
+    """Stable sort of sites by x (reference: sort_by_x, utils.cpp:176+)."""
+    order = np.argsort(x, kind="stable")
+    return element[order], x[order], y[order], z[order]
+
+
+def sort_by_xyz(element, x, y, z):
+    """Lexicographic (x, then y, then z) sort (reference: sort_by_xyz)."""
+    order = np.lexsort((z, y, x))
+    return element[order], x[order], y[order], z[order]
+
+
+def center_coords(x, y, z, dims=(True, True, True)):
+    """Shift the minimum coordinate to 0 in the selected dims
+    (reference: center_coords, utils.h:121)."""
+    out = []
+    for arr, do in zip((x, y, z), dims):
+        out.append(arr - arr.min() if do else arr)
+    return tuple(out)
+
+
+def count_contact_sites(element: np.ndarray, num_atoms_contact: int, side: str) -> int:
+    """Number of leading/trailing site-array entries spanning
+    `num_atoms_contact` non-defect atoms (reference: get_num_in_contacts,
+    heat_solver.cpp:4-36)."""
+    n = len(element)
+    count = 0
+    found = 0
+    rng = range(n) if side == "left" else range(n - 1, -1, -1)
+    for i in rng:
+        count += 1
+        if element[i] != int(ELEM.DEFECT):
+            found += 1
+            if found >= num_atoms_contact:
+                break
+    return count
+
+
 # ---------------------------------------------------------------------------
 # index-list construction (cell-list accelerated, blocked, exact semantics)
 # ---------------------------------------------------------------------------

@@ -92,3 +92,29 @@ def test_golden_substoichiometry(ref_5nm_dir):
     )
     assert (e2 == eg).all()
     assert np.allclose(x, xg, atol=5e-4)
+
+
+def test_translate_cell_and_sorts():
+    from akmc_tpu.lattice import center_coords, sort_by_xyz, translate_cell
+
+    x = np.array([0.0, 5.0, 9.0])
+    y = np.array([1.0, 2.0, 3.0])
+    z = np.array([0.0, 0.0, 0.0])
+    x2, y2, z2 = translate_cell(x, y, z, [10.0, 4.0, 4.0], [0.5, 0.5, 0.0])
+    np.testing.assert_allclose(x2, [5.0, 0.0, 4.0])
+    np.testing.assert_allclose(y2, [3.0, 0.0, 1.0])
+
+    e = np.array([1, 2, 3])
+    es, xs, ys, zs = sort_by_xyz(e, x2, y2, z2)
+    assert list(xs) == sorted(xs)
+
+    xc, yc, zc = center_coords(x, y, z, (True, False, True))
+    assert xc.min() == 0.0 and (yc == y).all()
+
+
+def test_count_contact_sites():
+    from akmc_tpu.lattice import ELEM, count_contact_sites
+
+    # [metal, defect, metal, O, ...]: 2 atoms on the left span 3 entries
+    e = np.array([int(ELEM.Ti), int(ELEM.DEFECT), int(ELEM.N), int(ELEM.O)])
+    assert count_contact_sites(e, 2, "left") == 3
