@@ -105,8 +105,15 @@ class VCMModel:
         jc = np.clip(lat.neigh_idx, 0, None)
         d = np.sqrt(((pos_np[:, None, :] - pos_np[jc]) ** 2).sum(-1)) * 1e-10
         d[lat.neigh_idx < 0] = 1.0
+        # the shipped 5nm structure contains coincident sites (5759/5760 at
+        # identical coordinates): d=0 between metal sites. The reference
+        # would produce inf there but never reads it (metals host no events);
+        # zero it to keep NaNs out of masked arithmetic.
+        coincident = d == 0.0
+        d[coincident] = 1.0
         q_e = 1.60217663e-19
         self2 = 2.0 * _erfc(d / (p.sigma * np.sqrt(2.0))) * p.k * q_e / d
+        self2[coincident] = 0.0
 
         is_metal_np = metal_mask(lat.element0, p.metals)
         kjc = np.clip(lat.k_neigh_idx, 0, None)
@@ -374,6 +381,7 @@ class VCMModel:
             element, charge, P = res.element, res.charge, res.P
             n_events += int(res.n_events)
             ev_time = res.event_time
+            ev_time_f = float(res.event_time)
             done = bool(res.done)
             stream.advance(int(res.draws_used))
 
@@ -386,7 +394,7 @@ class VCMModel:
         )
         stats = {
             "n_events": n_events,
-            "event_time": float(ev_time) if done else ev_time_f,
+            "event_time": ev_time_f,   # already pulled in the diag batch
             "cg_iterations": cg_iters,
         }
         return new_state, stats

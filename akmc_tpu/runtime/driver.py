@@ -155,7 +155,10 @@ def run(
                 # time (Device::updateTemperature, heat_solver.cpp:106-140)
                 state = model.update_temperature(state, stats["event_time"])
             t1 = time.perf_counter()
-            kmc_time = float(state.kmc_time)
+            # track the clock on host (device pulls cost a dispatch RTT on
+            # tunneled runtimes); state.kmc_time stays authoritative for
+            # checkpoints
+            kmc_time += stats["event_time"]
 
             dt = t1 - t0
             # module-level timings are merged in the one-jit design; the
