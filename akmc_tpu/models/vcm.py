@@ -26,7 +26,12 @@ import numpy as np
 from akmc_tpu.config import KMCParameters
 from akmc_tpu.lattice import ELEM, Lattice, metal_mask
 from akmc_tpu.ops.charge import update_charge, update_charge_compact
-from akmc_tpu.ops.events import EventLoopResult, build_event_table, run_event_loop
+from akmc_tpu.ops.events import (
+    EventLoopResult,
+    build_event_table,
+    run_event_loop,
+    run_event_loop_native,
+)
 from akmc_tpu.ops.pairwise import pairwise_potential
 from akmc_tpu.rng import ReferenceRNG
 from akmc_tpu.solvers.current import (
@@ -398,6 +403,47 @@ class VCMModel:
             "cg_iterations": cg_iters,
         }
         return new_state, stats
+
+    def superstep_native(
+        self, state: DeviceState, Vd: float, key
+    ) -> Tuple[DeviceState, dict, jax.Array]:
+        """Production-mode superstep: on-device threefry draws (no host RNG
+        buffers, not reference-stream parity). Returns (state, stats, key')."""
+        if not hasattr(self, "_step_native_jit"):
+            def _step_native(t, bk, element, charge, pb_prev, T_bg, Vd, key):
+                if bk is not None:
+                    fr = self._fields_banded(t, bk, element, charge, pb_prev, T_bg, Vd)
+                else:
+                    fr = self._fields(t, element, charge, pb_prev, T_bg, Vd)
+                key, sub = jax.random.split(key)
+                res = run_event_loop_native(
+                    element, fr.charge, fr.P, fr.etype, t.neigh_idx, sub,
+                    self.params.freq,
+                )
+                diag = self._pack_diag(fr, res)
+                return fr, res, diag, key
+
+            self._step_native_jit = jax.jit(_step_native, static_argnums=())
+        fr, res, diag, key = self._step_native_jit(
+            self.tables, self.banded, state.element, state.charge,
+            state.potential_boundary, state.T_bg, Vd, key,
+        )
+        d = np.asarray(diag)
+        if d[5] != 0.0:
+            raise RuntimeError(f"charged-site count exceeded qmax={self.qmax}")
+        new_state = state._replace(
+            element=res.element,
+            charge=res.charge,
+            potential_boundary=fr.potential_boundary,
+            potential_charge=fr.potential_sum,
+            kmc_time=state.kmc_time + res.event_time,
+        )
+        stats = {
+            "n_events": int(d[0]),
+            "event_time": float(d[2]),
+            "cg_iterations": int(d[4]),
+        }
+        return new_state, stats, key
 
     def update_cb_edge(self, state: DeviceState, Vd: float) -> DeviceState:
         cb, _ = self._cb_jit(self.tables, state.element, state.charge, state.cb_edge, Vd)

@@ -67,3 +67,16 @@ def test_superstep_deterministic(toy):
     s1, s2 = run(), run()
     assert (np.asarray(s1.element) == np.asarray(s2.element)).all()
     assert float(s1.kmc_time) == float(s2.kmc_time)
+
+
+def test_superstep_native_rng(toy):
+    import jax
+
+    p, lat = toy
+    model = VCMModel(p, lat)
+    state = make_device_state(lat, p.background_temp)
+    key = jax.random.PRNGKey(42)
+    for _ in range(2):
+        state, stats, key = model.superstep_native(state, 2.0, key)
+        assert stats["n_events"] >= 1
+    assert float(state.kmc_time) > 0
