@@ -84,6 +84,8 @@ def run(
     cache_dir: Optional[str] = None,
     log: bool = True,
     committed_parity: bool = True,
+    checkpoint_every: int = 0,
+    resume_from: Optional[str] = None,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
 
@@ -117,10 +119,20 @@ def run(
     full_physics = p.solve_current and not committed_parity
     m_warm = None   # virtual-potential warm start across supersteps
 
+    resume_vt = 0
+    resume_steps = 0
+    if resume_from:
+        from akmc_tpu.runtime.checkpoint import load_checkpoint
+
+        state, kmc_stream, resume_vt, resume_steps, _ = load_checkpoint(resume_from)
+        out.write(f"Resumed from checkpoint {resume_from}\n")
+
     total_steps = 0
     t_code_start = time.perf_counter()
 
     for vt_counter, Vd in enumerate(p.V_switch):
+        if vt_counter < resume_vt:
+            continue
         t_bias = p.t_switch[vt_counter]
         out.write("--------------------------------\n")
         out.write(f"Applied Voltage = {_g(Vd)} V\n")
@@ -138,9 +150,13 @@ def run(
             np.asarray(state.potential_charge), np.asarray(state.power),
         )
 
-        kmc_time = 0.0
-        kmc_step_count = 0
-        state = state._replace(kmc_time=state.kmc_time * 0.0)
+        if vt_counter == resume_vt and resume_steps:
+            kmc_time = float(state.kmc_time)
+            kmc_step_count = resume_steps
+        else:
+            kmc_time = 0.0
+            kmc_step_count = 0
+            state = state._replace(kmc_time=state.kmc_time * 0.0)
 
         while kmc_time < t_bias:
             t0 = time.perf_counter()
@@ -205,6 +221,16 @@ def run(
                     f"wall={dt:.3f}s"
                 )
 
+            if checkpoint_every and kmc_step_count % checkpoint_every == 0:
+                from akmc_tpu.runtime.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    os.path.join(workdir, "checkpoint.npz"),
+                    state, kmc_stream,
+                    vt_counter=vt_counter, kmc_step_count=kmc_step_count,
+                    extra={"Vd": Vd},
+                )
+
             if max_supersteps and total_steps >= max_supersteps:
                 break
 
@@ -237,6 +263,10 @@ def main():
     ap.add_argument("--workdir", default=".")
     ap.add_argument("--max-supersteps", type=int, default=None)
     ap.add_argument("--cache-dir", default=".cache")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save a full checkpoint every N supersteps")
+    ap.add_argument("--resume-from", default=None,
+                    help="resume from a checkpoint.npz (bit-identical)")
     ap.add_argument(
         "--full-physics", action="store_true",
         help="enable the current/power/heating branch the committed "
@@ -249,6 +279,8 @@ def main():
         max_supersteps=args.max_supersteps,
         cache_dir=args.cache_dir,
         committed_parity=not args.full_physics,
+        checkpoint_every=args.checkpoint_every,
+        resume_from=args.resume_from,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 

@@ -116,3 +116,26 @@ def test_driver_full_physics(tmp_path, monkeypatch):
     assert all(np.isfinite(c) for c in d.currents_uA)
     assert len(d.temperatures_K) == summary["total_steps"]
     assert all(np.isfinite(t) and t > 0 for t in d.temperatures_K)
+
+
+def test_driver_checkpoint_resume(tmp_path, monkeypatch):
+    """Interrupted driver run resumed from checkpoint == uninterrupted run."""
+    from akmc_tpu.runtime import driver
+
+    deck, p = _write_toy_deck(tmp_path)
+    _patch_layers(monkeypatch, p)
+
+    driver.run(str(deck), workdir=str(tmp_path / "a"), max_supersteps=4, log=False)
+    da = parse_output_txt(str(tmp_path / "a" / "output1_0.txt"))
+
+    driver.run(
+        str(deck), workdir=str(tmp_path / "b"), max_supersteps=2, log=False,
+        checkpoint_every=1,
+    )
+    driver.run(
+        str(deck), workdir=str(tmp_path / "b2"), max_supersteps=2, log=False,
+        resume_from=str(tmp_path / "b" / "checkpoint.npz"),
+    )
+    db2 = parse_output_txt(str(tmp_path / "b2" / "output1_0.txt"))
+    # steps 3..4 of the uninterrupted run == the resumed run's steps
+    np.testing.assert_allclose(db2.kmc_times, da.kmc_times[2:4], rtol=1e-12)
