@@ -69,9 +69,11 @@ def build_banded_k(
     low_G: float,
     block_rows: int = 512,
     max_bandwidth: Optional[int] = None,
+    max_band_bytes: float = 4e9,
 ) -> Optional[BandedK]:
     """Host-side construction. Returns None if the lexsorted bandwidth is too
-    wide for the dense band to pay off (fall back to the ELL path)."""
+    wide for the dense band to pay off, or if the band blocks would exceed
+    ``max_band_bytes`` (fall back to the ELL path)."""
     n = pos.shape[0]
     order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
     inv = np.empty(n, np.int64)
@@ -92,6 +94,8 @@ def build_banded_k(
     nb = -(-n // T)
     n_pad = nb * T
     W = T + 2 * B
+    if nb * T * W * 8.0 > max_band_bytes:
+        return None
 
     dG = high_G - low_G
     # static edge values: low_G everywhere + dG on metal-metal edges
