@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import re
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 # ---------------------------------------------------------------------------
 # Physical constants (reference: src/input_parser.h:92-101, kmc_events.cu:5)

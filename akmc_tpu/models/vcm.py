@@ -15,7 +15,6 @@ masks) as device arrays; ``DeviceState`` carries the dynamic fields.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 from typing import NamedTuple, Optional, Tuple
 
@@ -25,9 +24,8 @@ import numpy as np
 
 from akmc_tpu.config import KMCParameters
 from akmc_tpu.lattice import ELEM, Lattice, metal_mask
-from akmc_tpu.ops.charge import update_charge, update_charge_compact
+from akmc_tpu.ops.charge import update_charge_compact
 from akmc_tpu.ops.events import (
-    EventLoopResult,
     build_event_table,
     run_event_loop,
     run_event_loop_native,

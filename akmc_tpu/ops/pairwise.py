@@ -29,10 +29,8 @@ returns an overflow flag the host checks per superstep.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.scipy.special import erfc

@@ -8,7 +8,6 @@ CLI:  python -m akmc_tpu.postprocessing.plots <kind> <output_txt|workdir> [out.p
 
 from __future__ import annotations
 
-import os
 import sys
 
 import numpy as np

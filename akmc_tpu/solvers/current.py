@@ -40,7 +40,7 @@ non-metal atoms (copy_pdisp, 462-474).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ weighted by 1/nn_dist, which reproduces the published model's structure.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

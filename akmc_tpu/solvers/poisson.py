@@ -31,7 +31,7 @@ broadcasts the interface span (potential_solver_gpu.cu:1130-1148).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -10,13 +10,13 @@ potential_solver_gpu.cu:885), int32 for discrete per-site attributes.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from akmc_tpu.lattice import ELEM, Lattice, metal_mask
+from akmc_tpu.lattice import ELEM, Lattice
 from akmc_tpu.rng import ReferenceRNG
 
 
