@@ -234,20 +234,6 @@ def solve_potential_boundary_banded(
         jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, vdeg, 0.0))
     )
 
-    # FOLD the conductive-vacancy edges into a per-superstep copy of the
-    # band: one scatter-add over <= VMAX^2 masked slots, so each CG
-    # iteration is a single blocked matvec with no correction ops.
-    # (cvac pairs are nn-dist edges, hence guaranteed inside the band.)
-    T, B = meta.block_rows, meta.half_band
-    row_p = vidx[:, None].clip(0)
-    col_p = vidx[None, :].clip(0)
-    edge = Wv > 0.0
-    b_idx = jnp.where(edge, row_p // T, 0)
-    r_idx = jnp.where(edge, row_p % T, 0)
-    w_idx = jnp.where(edge, col_p - b_idx * T + B, 0)
-    blocks = bk.blocks.at[b_idx, r_idx, w_idx].add(jnp.where(edge, dG, 0.0))
-    bk_step = bk._replace(blocks=blocks)
-
     # interface mask in solver frame (contacts are x-extremal => they keep
     # their original [0,L) / [n-R,n) positions under lexsort, but compute
     # the mask robustly from the permutation)
@@ -256,10 +242,17 @@ def solve_potential_boundary_banded(
 
     rhs_p = (bk.lsum[bk.perm] * (-Vd / 2.0) + bk.rsum[bk.perm] * (Vd / 2.0)) * is_int_p
 
+    # NOTE: folding the cvac edges into a per-superstep copy of the band was
+    # measured ~90 ms/superstep SLOWER on the tunneled runtime (the 1.5 GB
+    # functional block update dominates warm 1-iteration solves), so the
+    # correction is applied per iteration on the compacted vacancy lists.
     def A_frame(x_p):
         # x_p: solver-frame full-length vector, contacts implicitly zero
         xz = jnp.where(is_int_p, x_p, 0.0)
-        y = diag_p * xz - band_matvec(bk_step, meta, xz)
+        y = diag_p * xz - band_matvec(bk, meta, xz)
+        xv = jnp.where(vv, xz[vidx.clip(0)], 0.0)
+        corr = dG * (Wv @ xv)
+        y = y - jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, corr, 0.0))
         # BAND includes edges to contact columns, but xz zeroes them; rows of
         # contacts are masked out of the solve entirely:
         return jnp.where(is_int_p, y, x_p)
