@@ -18,10 +18,20 @@ REF_5NM = "/root/reference/structures/5nm_device"
 
 
 def main():
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jaxcache"),
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(here, ".cache", "jaxcache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    # seed from committed executables (compiles through the remote runtime
+    # take 3-16 min; the committed entries make the bench warm-start)
+    seed = os.path.join(here, ".cache", "jaxcache_commit")
+    if os.path.isdir(seed):
+        os.makedirs(cache, exist_ok=True)
+        import shutil
+
+        for f in os.listdir(seed):
+            dst = os.path.join(cache, f)
+            if not os.path.exists(dst):
+                shutil.copy(os.path.join(seed, f), dst)
     import jax
 
     jax.config.update("jax_enable_x64", True)
