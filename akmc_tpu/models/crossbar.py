@@ -140,3 +140,47 @@ def synthetic_stack(
         metals=["Ti", "N"],
     )
     return e, x, y, z, lattice, params_patch
+
+
+def sort_crossbar(
+    element: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray,
+    split_y: float,
+    split_z: float,
+) -> Tuple[np.ndarray, ...]:
+    """Reorder crossbar sites so the boundary-condition contacts sit at the
+    beginning/end, grouped into word/bit lines (postprocessing/
+    sort_crossbar.py equivalent).
+
+    Like the reference: the left contact block is every leading Ti/N site up
+    to the first oxide (Hf/O) site, the right contact is the same count of
+    trailing Ti/N sites; the left contact splits into two wordlines by z <
+    split_z, the right into two bitlines by y < split_y
+    (sort_crossbar.py:49-115). Returns (element, x, y, z) ordered
+    wordline1, wordline2, oxide, bitline1, bitline2 (the reference script
+    truncates after bitline1; we emit the complete structure).
+    """
+    is_metal = np.isin(element, [int(ELEM.Ti), int(ELEM.N)])
+    is_oxide = np.isin(element, [int(ELEM.Hf), int(ELEM.O)])
+    n = len(element)
+    first_oxide = int(np.argmax(is_oxide)) if is_oxide.any() else n
+    left = np.arange(first_oxide)[is_metal[:first_oxide]]
+    num_contact = len(left)
+    # trailing Ti/N sites, scanning backwards until oxide or count reached
+    right = []
+    for i in range(n - 1, -1, -1):
+        if is_oxide[i] or len(right) == num_contact:
+            break
+        if is_metal[i]:
+            right.append(i)
+    right = np.array(right[::-1], dtype=np.int64)
+    middle = np.setdiff1d(np.arange(n), np.concatenate([left, right]))
+
+    word1 = left[z[left] < split_z]
+    word2 = left[z[left] >= split_z]
+    bit1 = right[y[right] < split_y]
+    bit2 = right[y[right] >= split_y]
+    order = np.concatenate([word1, word2, middle, bit1, bit2])
+    return element[order], x[order], y[order], z[order]

@@ -186,8 +186,14 @@ def run(
             out.write(f"Z - calculation time - potential from charges [s]{_g(dt)}\n")
             out.write(f"Z - calculation time - kmc events [s]{_g(dt)}\n")
             if I_macro is not None:
-                # scraper schema (postprocessing/plot_IV.py:33)
+                # scraper schema (postprocessing/plot_IV.py:33,
+                # plot_conductance.py:34, plot_power.py:37; strings from
+                # current_solver.cpp:277-278, 375)
                 out.write(f"Current [uA]: {_g(I_macro * 1e6)}\n")
+                out.write(f"Conductance [uS]: {_g(abs(I_macro / Vd) * 1e6)}\n")
+                if p.solve_heating_global or p.solve_heating_local:
+                    p_tot = float(jax.numpy.sum(state.power))
+                    out.write(f"Total dissipated power [mW]: {_g(p_tot * 1e3)}\n")
             if full_physics and p.solve_heating_global:
                 out.write(f"Global temperature [K]: {float(state.T_bg):.16f}\n")
             out.write(f"KMC time is: {_g(kmc_time)}\n")
