@@ -68,6 +68,15 @@ class StaticTables(NamedTuple):
     E_rec: jax.Array
     E_Vdiff: jax.Array
     E_Odiff: jax.Array
+    # event tables compacted to the statically event-capable rows (element
+    # in {DEFECT, O, V, Od} — closed under all event types). Padded to a
+    # multiple of 256 rows; pad rows are all-zero-rate (-1 entries), so
+    # selection stays bit-identical to the full N-row layout.
+    act_idx: jax.Array            # (NA,) absolute site per row, -1 padded
+    abs2act: jax.Array            # (N,) site -> row; inactive -> last pad row
+    act_neigh: jax.Array          # (NA, NN) absolute neighbor ids, -1 padded
+    act_self2: jax.Array          # (NA, NN)
+    act_layer: jax.Array          # (NA, NN)
 
 
 class FieldsResult(NamedTuple):
@@ -130,13 +139,35 @@ class VCMModel:
         if self.vmax is None:
             self.vmax = _round_up(max(256, int(1.5 * n_v) + 1), 256)
 
+        # static active-row compaction for the event tables: the species set
+        # {DEFECT, O, VACANCY, OXYGEN_DEFECT} is invariant under every event
+        # type (execute_event, kmc_events.cu:292-331), so rows outside it
+        # carry exactly-zero rates forever and can be dropped up front.
+        layer_nbr_np = lat.site_layer[jc]
+        active_np = np.isin(
+            lat.element0,
+            [int(ELEM.DEFECT), int(ELEM.O), int(ELEM.VACANCY), int(ELEM.OXYGEN_DEFECT)],
+        )
+        act = np.nonzero(active_np)[0].astype(np.int32)
+        na_pad = _round_up(len(act) + 1, 256)   # >= 1 all-zero pad row
+        act_idx_np = np.full(na_pad, -1, np.int32)
+        act_idx_np[: len(act)] = act
+        abs2act_np = np.full(lat.N, na_pad - 1, np.int32)
+        abs2act_np[act] = np.arange(len(act), dtype=np.int32)
+        act_neigh_np = np.full((na_pad, lat.neigh_idx.shape[1]), -1, np.int32)
+        act_neigh_np[: len(act)] = lat.neigh_idx[act]
+        act_self2_np = np.zeros((na_pad, self2.shape[1]), self2.dtype)
+        act_self2_np[: len(act)] = self2[act]
+        act_layer_np = np.zeros((na_pad, layer_nbr_np.shape[1]), np.int32)
+        act_layer_np[: len(act)] = layer_nbr_np[act]
+
         self.tables = StaticTables(
             pos=jnp.asarray(pos_np, f64),
             neigh_idx=jnp.asarray(lat.neigh_idx, jnp.int32),
             k_neigh_idx=jnp.asarray(lat.k_neigh_idx, jnp.int32),
             cutoff_idx=jnp.asarray(lat.cutoff_idx, jnp.int32),
             self2_nn=jnp.asarray(self2, f64),
-            layer_nbr=jnp.asarray(lat.site_layer[jc], jnp.int32),
+            layer_nbr=jnp.asarray(layer_nbr_np, jnp.int32),
             any_metal_nbr=jnp.asarray(
                 (is_metal_np[jc] & (lat.neigh_idx >= 0)).any(axis=1)
             ),
@@ -151,6 +182,11 @@ class VCMModel:
             E_rec=jnp.asarray([l.E_rec_1 for l in p.layers], f64),
             E_Vdiff=jnp.asarray([l.E_diff_2 for l in p.layers], f64),
             E_Odiff=jnp.asarray([l.E_diff_3 for l in p.layers], f64),
+            act_idx=jnp.asarray(act_idx_np),
+            abs2act=jnp.asarray(abs2act_np),
+            act_neigh=jnp.asarray(act_neigh_np),
+            act_self2=jnp.asarray(act_self2_np, f64),
+            act_layer=jnp.asarray(act_layer_np),
         )
 
         self.banded: Optional[BandedK] = None
@@ -201,9 +237,9 @@ class VCMModel:
             charge,
             pot_sum,
             T_bg,
-            t.neigh_idx,
-            t.self2_nn,
-            t.layer_nbr,
+            t.act_neigh,
+            t.act_self2,
+            t.act_layer,
             t.E_gen,
             t.E_rec,
             t.E_Vdiff,
@@ -211,6 +247,7 @@ class VCMModel:
             p.freq,
             p.sigma,
             p.k,
+            rows=t.act_idx,
         )
         return FieldsResult(
             charge=charge,
@@ -243,9 +280,9 @@ class VCMModel:
 
         P, etype = build_event_table(
             element, charge, pot_sum, T_bg,
-            t.neigh_idx, t.self2_nn, t.layer_nbr,
+            t.act_neigh, t.act_self2, t.act_layer,
             t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-            p.freq, p.sigma, p.k,
+            p.freq, p.sigma, p.k, rows=t.act_idx,
         )
         return FieldsResult(
             charge=charge,
@@ -274,8 +311,8 @@ class VCMModel:
         """fields + event loop in ONE executable (one dispatch per superstep)."""
         fr = self._fields(t, element, charge, pb_prev, T_bg, Vd)
         res = run_event_loop(
-            element, fr.charge, fr.P, fr.etype, t.neigh_idx, rand_buf,
-            self.params.freq,
+            element, fr.charge, fr.P, fr.etype, t.act_neigh, rand_buf,
+            self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
         )
         return fr, res, self._pack_diag(fr, res)
 
@@ -283,8 +320,8 @@ class VCMModel:
                            pb_prev, T_bg, Vd, rand_buf):
         fr = self._fields_banded(t, bk, element, charge, pb_prev, T_bg, Vd)
         res = run_event_loop(
-            element, fr.charge, fr.P, fr.etype, t.neigh_idx, rand_buf,
-            self.params.freq,
+            element, fr.charge, fr.P, fr.etype, t.act_neigh, rand_buf,
+            self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
         )
         return fr, res, self._pack_diag(fr, res)
 
@@ -316,10 +353,12 @@ class VCMModel:
             charge,
             P,
             etype,
-            t.neigh_idx,
+            t.act_neigh,
             rand_buf,
             self.params.freq,
             event_time_in=event_time_in,
+            act_idx=t.act_idx,
+            abs2act=t.abs2act,
         )
 
     def _cb(self, t: StaticTables, element, charge, cb_prev, Vd):
@@ -415,8 +454,8 @@ class VCMModel:
                     fr = self._fields(t, element, charge, pb_prev, T_bg, Vd)
                 key, sub = jax.random.split(key)
                 res = run_event_loop_native(
-                    element, fr.charge, fr.P, fr.etype, t.neigh_idx, sub,
-                    self.params.freq,
+                    element, fr.charge, fr.P, fr.etype, t.act_neigh, sub,
+                    self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
                 )
                 diag = self._pack_diag(fr, res)
                 return fr, res, diag, key

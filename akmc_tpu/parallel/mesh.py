@@ -52,6 +52,13 @@ _ROW_SHARDED = (
     "layer_nbr",
     "metal_edge",
     "metal_or_edge",
+    # compacted event tables: NA rows (padded to a multiple of 256, so any
+    # power-of-two mesh divides evenly); abs2act is an O(N) site-indexed
+    # vector and stays replicated like the field vectors
+    "act_idx",
+    "act_neigh",
+    "act_self2",
+    "act_layer",
 )
 
 

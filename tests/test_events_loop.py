@@ -165,3 +165,66 @@ def test_native_rng_loop_invariants(crafted):
     dv0 = (element == int(ELEM.VACANCY)).sum() - (element == int(ELEM.OXYGEN_DEFECT)).sum()
     assert dv == dv0
     assert float(res.event_time) >= 1.0 / 1e14
+
+
+def test_compacted_loop_matches_full(crafted):
+    """Row-compacted layout (act_idx/abs2act) must produce the IDENTICAL
+    event sequence: excluded rows carry exactly-zero rates, so cumulative
+    sums and selection boundaries are bit-equal."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.ops.events import run_event_loop
+
+    element, charge, P, etype, neigh_idx = crafted
+    n, nn = P.shape
+    # deactivate a third of the rows (pretend they're metal): zero their
+    # rates, exactly like contacts in a real device
+    element = element.copy()
+    P = P.copy()
+    etype = etype.copy()
+    inactive = np.arange(0, n, 3)
+    element[inactive] = int(ELEM.Ti)
+    P[inactive] = 0.0
+    etype[inactive] = int(EVENT.NULL_EVENT)
+    # null any event whose PARTNER became inactive too (element pair broken)
+    for i in range(n):
+        for s in range(nn):
+            j = neigh_idx[i, s]
+            if j >= 0 and j in inactive:
+                P[i, s] = 0.0
+                etype[i, s] = int(EVENT.NULL_EVENT)
+
+    freq = 1e14
+    rands = ReferenceRNG(1).uniform(64)
+
+    full = run_event_loop(
+        jnp.asarray(element), jnp.asarray(charge), jnp.asarray(P),
+        jnp.asarray(etype), jnp.asarray(neigh_idx), jnp.asarray(rands), freq,
+    )
+
+    act = np.setdiff1d(np.arange(n), inactive).astype(np.int32)
+    na_pad = len(act) + 3   # a few all-zero pad rows
+    act_idx = np.full(na_pad, -1, np.int32)
+    act_idx[: len(act)] = act
+    abs2act = np.full(n, na_pad - 1, np.int32)
+    abs2act[act] = np.arange(len(act), dtype=np.int32)
+    P_c = np.zeros((na_pad, nn))
+    P_c[: len(act)] = P[act]
+    etype_c = np.full((na_pad, nn), int(EVENT.NULL_EVENT), np.int32)
+    etype_c[: len(act)] = etype[act]
+    neigh_c = np.full((na_pad, nn), -1, np.int32)
+    neigh_c[: len(act)] = neigh_idx[act]
+
+    comp = run_event_loop(
+        jnp.asarray(element), jnp.asarray(charge), jnp.asarray(P_c),
+        jnp.asarray(etype_c), jnp.asarray(neigh_c), jnp.asarray(rands), freq,
+        act_idx=jnp.asarray(act_idx), abs2act=jnp.asarray(abs2act),
+    )
+
+    assert int(comp.n_events) == int(full.n_events) >= 2
+    assert int(comp.draws_used) == int(full.draws_used)
+    np.testing.assert_array_equal(np.asarray(comp.element), np.asarray(full.element))
+    np.testing.assert_array_equal(np.asarray(comp.charge), np.asarray(full.charge))
+    # mutated rate tables agree row-for-row on the active subset
+    np.testing.assert_array_equal(np.asarray(comp.P)[: len(act)], np.asarray(full.P)[act])
+    assert float(comp.event_time) == float(full.event_time)
