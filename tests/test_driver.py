@@ -116,6 +116,13 @@ def test_driver_full_physics(tmp_path, monkeypatch):
     assert all(np.isfinite(c) for c in d.currents_uA)
     assert len(d.temperatures_K) == summary["total_steps"]
     assert all(np.isfinite(t) and t > 0 for t in d.temperatures_K)
+    # conductance and total-power lines (current_solver.cpp:278, 375 schema)
+    assert len(d.conductances_uS) == summary["total_steps"]
+    np.testing.assert_allclose(
+        d.conductances_uS, np.abs(np.asarray(d.currents_uA) / 2.0), rtol=1e-5
+    )
+    assert len(d.powers_mW) == summary["total_steps"]
+    assert all(np.isfinite(pw) for pw in d.powers_mW)
 
 
 def test_driver_checkpoint_resume(tmp_path, monkeypatch):
