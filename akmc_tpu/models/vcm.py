@@ -441,6 +441,104 @@ class VCMModel:
         }
         return new_state, stats
 
+    # ------------------------------------------------------------------
+    # multi-superstep batching: k supersteps per dispatch
+    # ------------------------------------------------------------------
+    def _step_multi(self, t: StaticTables, bk, element, charge, pb_prev,
+                    T_bg, Vd, rand_buf, k: int, chunk: int):
+        """k supersteps in ONE executable (lax.scan over the fused step).
+
+        Each superstep's rand window starts exactly where the previous
+        superstep stopped consuming (a running cursor into one shared
+        buffer), so the executed trajectory is IDENTICAL to k sequential
+        ``superstep`` calls with ``rand_chunk=chunk``. Amortizes the
+        per-dispatch overhead of tunneled/remote runtimes over k steps.
+        """
+        from jax import lax
+
+        def body(carry, _):
+            element, charge, pb, pc, cursor = carry
+            window = lax.dynamic_slice(rand_buf, (cursor,), (chunk,))
+            if bk is not None:
+                fr = self._fields_banded(t, bk, element, charge, pb, T_bg, Vd)
+            else:
+                fr = self._fields(t, element, charge, pb, T_bg, Vd)
+            res = run_event_loop(
+                element, fr.charge, fr.P, fr.etype, t.act_neigh, window,
+                self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
+            )
+            carry = (
+                res.element, res.charge, fr.potential_boundary,
+                fr.potential_sum, cursor + res.draws_used,
+            )
+            return carry, self._pack_diag(fr, res)
+
+        init = (element, charge, pb_prev,
+                jnp.zeros_like(pb_prev), jnp.asarray(0, jnp.int32))
+        (element, charge, pb, pc, cursor), diag = lax.scan(
+            body, init, None, length=k
+        )
+        return element, charge, pb, pc, diag
+
+    def superstep_multi(
+        self, state: DeviceState, Vd: float, stream, k: int,
+        rand_chunk: int = 4096,
+    ) -> Tuple[DeviceState, list]:
+        """Run k supersteps in one dispatch. Equals k sequential
+        ``superstep(..., rand_chunk=rand_chunk)`` calls event-for-event.
+
+        Fallback: if any step exhausted its rand window or overflowed the
+        charged-site cap (both rare), the whole batch is DISCARDED (the
+        stream was only peeked, states are immutable) and replayed through
+        the single-step path.
+        """
+        key = (k, rand_chunk)
+        if not hasattr(self, "_multi_jits"):
+            self._multi_jits = {}
+        if key not in self._multi_jits:
+            # on TPU the f64 cumsum inside the scan body lowers to a u32
+            # reduce-window whose scoped allocation exceeds the default
+            # 16M vmem budget — raise it for this executable only (the
+            # flag is TPU-compiler-specific; CPU/GPU reject it)
+            opts = (
+                {"compiler_options": {"xla_tpu_scoped_vmem_limit_kib": 27648}}
+                if jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+                else {}
+            )
+            self._multi_jits[key] = jax.jit(
+                self._step_multi, static_argnums=(8, 9), **opts
+            )
+        rand_buf = jnp.asarray(stream.peek(k * rand_chunk))
+        element, charge, pb, pc, diag = self._multi_jits[key](
+            self.tables, self.banded, state.element, state.charge,
+            state.potential_boundary, state.T_bg, Vd, rand_buf, k, rand_chunk,
+        )
+        d = np.asarray(diag)                     # (k, 6) one batched pull
+        if (d[:, 3] == 0.0).any() or (d[:, 5] != 0.0).any():
+            # exhaustion/overflow inside the batch: replay sequentially
+            stats_list = []
+            for _ in range(k):
+                state, stats = self.superstep(state, Vd, stream, rand_chunk)
+                stats_list.append(stats)
+            return state, stats_list
+        stream.advance(int(d[:, 1].sum()))
+        new_state = state._replace(
+            element=element,
+            charge=charge,
+            potential_boundary=pb,
+            potential_charge=pc,
+            kmc_time=state.kmc_time + d[:, 2].sum(),
+        )
+        stats_list = [
+            {
+                "n_events": int(d[i, 0]),
+                "event_time": float(d[i, 2]),
+                "cg_iterations": int(d[i, 4]),
+            }
+            for i in range(k)
+        ]
+        return new_state, stats_list
+
     def superstep_native(
         self, state: DeviceState, Vd: float, key
     ) -> Tuple[DeviceState, dict, jax.Array]:

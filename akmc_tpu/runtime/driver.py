@@ -23,6 +23,8 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+import jax.numpy as jnp
+
 from akmc_tpu.config import KMCParameters
 from akmc_tpu.lattice import build_lattice, read_xyz, write_xyz_snapshot
 from akmc_tpu.models.vcm import VCMModel
@@ -86,6 +88,7 @@ def run(
     committed_parity: bool = True,
     checkpoint_every: int = 0,
     resume_from: Optional[str] = None,
+    steps_per_dispatch: int = 1,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
 
@@ -158,6 +161,11 @@ def run(
             kmc_step_count = 0
             state = state._replace(kmc_time=state.kmc_time * 0.0)
 
+        # batching (one dispatch per k supersteps) only applies to the
+        # committed-parity path: full physics interleaves current/heating
+        # between supersteps on host
+        spd = steps_per_dispatch if not full_physics else 1
+
         while kmc_time < t_bias:
             t0 = time.perf_counter()
             I_macro = None
@@ -165,69 +173,82 @@ def run(
                 # current + dissipated power before events
                 # (kmc_main.cpp:461-474 position in the module sequence)
                 state, I_macro, m_warm, _ = model.update_power(state, Vd, m_warm)
-            state, stats = model.superstep(state, Vd, kmc_stream)
+            if spd > 1:
+                state, stats_list = model.superstep_multi(
+                    state, Vd, kmc_stream, k=spd
+                )
+            else:
+                state, stats = model.superstep(state, Vd, kmc_stream)
+                stats_list = [stats]
             if full_physics and (p.solve_heating_global or p.solve_heating_local):
                 # global capacitative T update over this superstep's event
                 # time (Device::updateTemperature, heat_solver.cpp:106-140)
-                state = model.update_temperature(state, stats["event_time"])
+                state = model.update_temperature(
+                    state, stats_list[0]["event_time"]
+                )
             t1 = time.perf_counter()
-            # track the clock on host (device pulls cost a dispatch RTT on
-            # tunneled runtimes); state.kmc_time stays authoritative for
-            # checkpoints
-            kmc_time += stats["event_time"]
+            dt = (t1 - t0) / len(stats_list)
 
-            dt = t1 - t0
-            # module-level timings are merged in the one-jit design; the
-            # scraped strings are kept with the superstep total
-            out.write(f"Z - calculation time - charge [s]{_g(dt)}\n")
-            out.write(
-                f"Z - calculation time - potential from boundaries [s]{_g(dt)}\n"
-            )
-            out.write(f"Z - calculation time - potential from charges [s]{_g(dt)}\n")
-            out.write(f"Z - calculation time - kmc events [s]{_g(dt)}\n")
-            if I_macro is not None:
-                # scraper schema (postprocessing/plot_IV.py:33,
-                # plot_conductance.py:34, plot_power.py:37; strings from
-                # current_solver.cpp:277-278, 375)
-                out.write(f"Current [uA]: {_g(I_macro * 1e6)}\n")
-                out.write(f"Conductance [uS]: {_g(abs(I_macro / Vd) * 1e6)}\n")
-                if p.solve_heating_global or p.solve_heating_local:
-                    p_tot = float(jax.numpy.sum(state.power))
-                    out.write(f"Total dissipated power [mW]: {_g(p_tot * 1e3)}\n")
-            if full_physics and p.solve_heating_global:
-                out.write(f"Global temperature [K]: {float(state.T_bg):.16f}\n")
-            out.write(f"KMC time is: {_g(kmc_time)}\n")
+            for stats in stats_list:
+                # track the clock on host (device pulls cost a dispatch RTT
+                # on tunneled runtimes); state.kmc_time stays authoritative
+                # for checkpoints
+                kmc_time += stats["event_time"]
 
-            if kmc_step_count % p.output_freq == 0:
-                out.flush()
-            kmc_step_count += 1
-            total_steps += 1
-
-            out.write(f"Z - calculation time - KMC superstep [s]: {_g(dt)}\n")
-            out.write("--------------------------------------\n")
-
-            metrics.write(
-                json.dumps(
-                    {
-                        "bias": Vd,
-                        "step": kmc_step_count,
-                        "kmc_time": kmc_time,
-                        "superstep_s": dt,
-                        **({"I_macro_A": I_macro} if I_macro is not None else {}),
-                        **({"T_bg": float(state.T_bg)} if full_physics else {}),
-                        **stats,
-                    }
+                # module-level timings are merged in the one-jit design; the
+                # scraped strings are kept with the superstep total
+                out.write(f"Z - calculation time - charge [s]{_g(dt)}\n")
+                out.write(
+                    f"Z - calculation time - potential from boundaries [s]{_g(dt)}\n"
                 )
-                + "\n"
-            )
-            if log:
-                print(
-                    f"[Vd={Vd}] step {kmc_step_count}: kmc_time={kmc_time:.5e} "
-                    f"events={stats['n_events']} cg={stats['cg_iterations']} "
-                    f"wall={dt:.3f}s"
-                )
+                out.write(f"Z - calculation time - potential from charges [s]{_g(dt)}\n")
+                out.write(f"Z - calculation time - kmc events [s]{_g(dt)}\n")
+                if I_macro is not None:
+                    # scraper schema (postprocessing/plot_IV.py:33,
+                    # plot_conductance.py:34, plot_power.py:37; strings from
+                    # current_solver.cpp:277-278, 375)
+                    out.write(f"Current [uA]: {_g(I_macro * 1e6)}\n")
+                    out.write(f"Conductance [uS]: {_g(abs(I_macro / Vd) * 1e6)}\n")
+                    if p.solve_heating_global or p.solve_heating_local:
+                        p_tot = float(jnp.sum(state.power))
+                        out.write(f"Total dissipated power [mW]: {_g(p_tot * 1e3)}\n")
+                if full_physics and p.solve_heating_global:
+                    out.write(f"Global temperature [K]: {float(state.T_bg):.16f}\n")
+                out.write(f"KMC time is: {_g(kmc_time)}\n")
 
-            if checkpoint_every and kmc_step_count % checkpoint_every == 0:
+                if kmc_step_count % p.output_freq == 0:
+                    out.flush()
+                kmc_step_count += 1
+                total_steps += 1
+
+                out.write(f"Z - calculation time - KMC superstep [s]: {_g(dt)}\n")
+                out.write("--------------------------------------\n")
+
+                metrics.write(
+                    json.dumps(
+                        {
+                            "bias": Vd,
+                            "step": kmc_step_count,
+                            "kmc_time": kmc_time,
+                            "superstep_s": dt,
+                            **({"I_macro_A": I_macro} if I_macro is not None else {}),
+                            **({"T_bg": float(state.T_bg)} if full_physics else {}),
+                            **stats,
+                        }
+                    )
+                    + "\n"
+                )
+                if log:
+                    print(
+                        f"[Vd={Vd}] step {kmc_step_count}: kmc_time={kmc_time:.5e} "
+                        f"events={stats['n_events']} cg={stats['cg_iterations']} "
+                        f"wall={dt:.3f}s"
+                    )
+
+            # checkpoints land on batch boundaries (state+stream consistent)
+            if checkpoint_every and (
+                kmc_step_count % checkpoint_every < len(stats_list)
+            ):
                 from akmc_tpu.runtime.checkpoint import save_checkpoint
 
                 save_checkpoint(
@@ -271,6 +292,10 @@ def main():
     ap.add_argument("--cache-dir", default=".cache")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="save a full checkpoint every N supersteps")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="batch k supersteps into one device dispatch "
+                         "(committed-parity path only; the bias loop may "
+                         "overshoot t_switch by up to k-1 supersteps)")
     ap.add_argument("--resume-from", default=None,
                     help="resume from a checkpoint.npz (bit-identical)")
     ap.add_argument(
@@ -287,6 +312,7 @@ def main():
         committed_parity=not args.full_physics,
         checkpoint_every=args.checkpoint_every,
         resume_from=args.resume_from,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 

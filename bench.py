@@ -35,6 +35,10 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # set via config, not env: a sitecustomize imports jax at interpreter
+    # startup, so jax_compilation_cache_dir already bound (empty) from the
+    # environment before this process's env tweaks take effect
+    jax.config.update("jax_compilation_cache_dir", cache)
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -54,15 +58,22 @@ def main():
     stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
     Vd = p.V_switch[0]
 
-    # warm-up (compile + first CG from zero guess)
-    state, _ = model.superstep(state, Vd, stream, rand_chunk=2048)
+    # production execution mode: K supersteps per device dispatch
+    # (lax.scan batching; trajectory identical to K sequential supersteps —
+    # tests/test_superstep_toy.py::test_superstep_multi_matches_sequential).
+    # warm-up batch pays the compile + the expensive first zero-guess CG.
+    K = 8
+    state, _ = model.superstep_multi(state, Vd, stream, k=K, rand_chunk=2048)
 
     times = []
-    n_steps = 8
-    for _ in range(n_steps):
+    n_batches = 3
+    for _ in range(n_batches):
         t0 = time.perf_counter()
-        state, stats = model.superstep(state, Vd, stream, rand_chunk=2048)
-        times.append(time.perf_counter() - t0)
+        state, stats_list = model.superstep_multi(
+            state, Vd, stream, k=K, rand_chunk=2048
+        )
+        times.append((time.perf_counter() - t0) / K)
+    assert all(s["n_events"] >= 1 for s in stats_list), "rates died mid-bench"
 
     val = float(np.median(times))
     print(

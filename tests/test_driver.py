@@ -13,7 +13,7 @@ from akmc_tpu.lattice import ELEM, write_xyz_snapshot
 from akmc_tpu.postprocessing.extract import parse_metrics_jsonl, parse_output_txt
 
 
-def _write_toy_deck(tmp_path, full=False):
+def _write_toy_deck(tmp_path, full=False, t_switch=1e-12):
     from tests.util_toy import toy_device
 
     p, lat = toy_device(nx=10, ny=3, nz=3, contact_layers=3)
@@ -47,7 +47,7 @@ V0 = 1.6
 k_therm = 1.1
 background_temp = 300
 V_switch = 2.0
-t_switch = 1e-12
+t_switch = {t_switch}
 num_atoms_first_layer = {p.num_atoms_first_layer}
 num_layers_contact = {p.num_layers_contact}
 num_atoms_contact = {p.num_atoms_first_layer * p.num_layers_contact}
@@ -146,3 +146,24 @@ def test_driver_checkpoint_resume(tmp_path, monkeypatch):
     db2 = parse_output_txt(str(tmp_path / "b2" / "output1_0.txt"))
     # steps 3..4 of the uninterrupted run == the resumed run's steps
     np.testing.assert_allclose(db2.kmc_times, da.kmc_times[2:4], rtol=1e-12)
+
+
+def test_driver_steps_per_dispatch(tmp_path, monkeypatch):
+    """Batched dispatch (k supersteps per device call) produces the same
+    trajectory log as the single-step driver."""
+    from akmc_tpu.runtime import driver
+
+    # long t_switch so max_supersteps (a multiple of k) is the binding stop:
+    # the batched bias loop checks kmc_time only between batches, so it may
+    # overshoot t_switch by up to k-1 supersteps (documented CLI behavior)
+    deck, p = _write_toy_deck(tmp_path, t_switch=1e3)
+    _patch_layers(monkeypatch, p)
+    driver.run(str(deck), workdir=str(tmp_path / "a"), max_supersteps=4, log=False)
+    driver.run(
+        str(deck), workdir=str(tmp_path / "b"), max_supersteps=4, log=False,
+        steps_per_dispatch=2,
+    )
+    da = parse_output_txt(str(tmp_path / "a" / "output1_0.txt"))
+    db = parse_output_txt(str(tmp_path / "b" / "output1_0.txt"))
+    assert len(da.kmc_times) == len(db.kmc_times) == 4
+    assert db.kmc_times == da.kmc_times

@@ -80,3 +80,36 @@ def test_superstep_native_rng(toy):
         state, stats, key = model.superstep_native(state, 2.0, key)
         assert stats["n_events"] >= 1
     assert float(state.kmc_time) > 0
+
+
+def test_superstep_multi_matches_sequential(toy):
+    """k supersteps per dispatch (lax.scan batching) must equal k sequential
+    superstep calls event-for-event: the scan threads the rand-buffer cursor
+    exactly like the host does between single-step calls."""
+    p, lat = toy
+    model = VCMModel(p, lat)
+    k, chunk = 3, 512
+
+    state_a = make_device_state(lat, p.background_temp)
+    stream_a = BufferedStream(ReferenceRNG(1))
+    stats_a = []
+    for _ in range(k):
+        state_a, st = model.superstep(state_a, 2.0, stream_a, rand_chunk=chunk)
+        stats_a.append(st)
+
+    state_b = make_device_state(lat, p.background_temp)
+    stream_b = BufferedStream(ReferenceRNG(1))
+    state_b, stats_b = model.superstep_multi(
+        state_b, 2.0, stream_b, k=k, rand_chunk=chunk
+    )
+
+    assert [s["n_events"] for s in stats_b] == [s["n_events"] for s in stats_a]
+    assert [s["event_time"] for s in stats_b] == [s["event_time"] for s in stats_a]
+    np.testing.assert_array_equal(np.asarray(state_b.element), np.asarray(state_a.element))
+    np.testing.assert_array_equal(np.asarray(state_b.charge), np.asarray(state_a.charge))
+    np.testing.assert_allclose(
+        np.asarray(state_b.potential_charge), np.asarray(state_a.potential_charge)
+    )
+    assert float(state_b.kmc_time) == pytest.approx(float(state_a.kmc_time), rel=1e-15)
+    # streams consumed identically: the next peeked draw matches
+    assert float(stream_a.peek(1)[0]) == float(stream_b.peek(1)[0])
