@@ -101,6 +101,14 @@ def run(
     p = KMCParameters.from_file(param_file)
     base_dir = os.path.dirname(os.path.abspath(param_file))
 
+    if cache_dir:
+        # persistent compile cache (remote TPU compiles take minutes); must
+        # go through jax.config — the env var binds before user code runs
+        # when a sitecustomize imports jax at interpreter startup
+        jcache = os.path.join(os.path.abspath(cache_dir), "jaxcache")
+        os.makedirs(jcache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", jcache)
+
     os.makedirs(workdir, exist_ok=True)
     out = OutputLog(os.path.join(workdir, "output1_0.txt"))
     metrics = open(os.path.join(workdir, "metrics.jsonl"), "w")
