@@ -482,7 +482,7 @@ class VCMModel:
 
     def superstep_multi(
         self, state: DeviceState, Vd: float, stream, k: int,
-        rand_chunk: int = 4096,
+        rand_chunk: int = 2048,
     ) -> Tuple[DeviceState, list]:
         """Run k supersteps in one dispatch. Equals k sequential
         ``superstep(..., rand_chunk=rand_chunk)`` calls event-for-event.
