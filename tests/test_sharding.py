@@ -81,3 +81,32 @@ def test_sharded_superstep_matches_single_device():
         atol=1e-6,
     )
     assert float(s1.kmc_time) == pytest.approx(float(s8.kmc_time), rel=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_batched_dispatch_matches_single_device():
+    """The production mode (superstep_multi, k steps per dispatch) must also
+    run correctly over the 8-device 'sites' mesh — lax.scan over the sharded
+    fused step with a shared rand-buffer cursor."""
+    p, lat = _padded_toy(8)
+
+    model1 = VCMModel(p, lat)
+    s1 = make_device_state(lat, p.background_temp)
+    st1 = BufferedStream(ReferenceRNG(1))
+    ev1 = []
+    for _ in range(2):
+        s1, stats = model1.superstep(s1, 2.0, st1, rand_chunk=512)
+        ev1.append(stats["n_events"])
+
+    model8 = VCMModel(p, lat)
+    mesh = make_mesh(8)
+    shard_model(model8, mesh)
+    s8 = make_device_state(lat, p.background_temp)
+    s8 = replicate_state(s8, mesh)
+    st8 = BufferedStream(ReferenceRNG(1))
+    s8, stats_list = model8.superstep_multi(s8, 2.0, st8, k=2, rand_chunk=512)
+
+    assert [s["n_events"] for s in stats_list] == ev1
+    np.testing.assert_array_equal(np.asarray(s1.element), np.asarray(s8.element))
+    np.testing.assert_array_equal(np.asarray(s1.charge), np.asarray(s8.charge))
+    assert float(s1.kmc_time) == pytest.approx(float(s8.kmc_time), rel=1e-9)
