@@ -142,12 +142,20 @@ def translate_cell(
     lattice: Sequence[float], shifts: Sequence[float],
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Translate coordinates across the periodic cell by fractional shifts
-    (reference: translate_cell, utils.h:124; used when `shift = 1`)."""
+    (reference: translate_cell, utils.cpp:267-299; used when `shift = 1`).
+
+    Exact reference sequence: center the shifted dims to min=0, lift every
+    coordinate below ``cut = shift*L`` up by one cell, then re-center — i.e.
+    the periodic image boundary moves DOWN by ``cut`` (x_new ~ (x - cut) mod L
+    up to the final re-centering by the actual minimum)."""
+    dims = [s != 0.0 for s in shifts]
+    x, y, z = center_coords(x, y, z, dims)
     out = []
-    for arr, dim, frac in zip((x, y, z), lattice, shifts):
-        a = arr + frac * dim
-        out.append(np.where(a >= dim, a - dim, a))
-    return tuple(out)
+    for arr, dim, frac, do in zip((x, y, z), lattice, shifts, dims):
+        if do:
+            arr = np.where(arr < frac * dim, arr + dim, arr)
+        out.append(arr)
+    return center_coords(*out, dims)
 
 
 def sort_by_x(element, x, y, z):

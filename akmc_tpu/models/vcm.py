@@ -44,7 +44,11 @@ from akmc_tpu.solvers.banded import (
     build_banded_k,
     solve_potential_boundary_banded,
 )
-from akmc_tpu.solvers.heat import update_temperature_global
+from akmc_tpu.solvers.heat import (
+    build_local_heat,
+    update_temperature_global,
+    update_temperature_local_ref,
+)
 from akmc_tpu.solvers.poisson import solve_cb_edge, solve_potential_boundary
 from akmc_tpu.state import DeviceState
 
@@ -87,6 +91,7 @@ class FieldsResult(NamedTuple):
     etype: jax.Array                # (N, NN) event types
     cg_iterations: jax.Array
     q_overflow: jax.Array           # charged count exceeded the static cap
+    v_overflow: jax.Array           # vacancy count exceeded the static cap
 
 
 @dataclass
@@ -206,11 +211,21 @@ class VCMModel:
         self._step_banded_jit = jax.jit(self._step_fused_banded)
         self._cb_jit = jax.jit(self._cb)
         self._power_jit = None          # built lazily (full-physics mode)
+        self._step_full_jit = None      # fused full-physics superstep
+        self._multi_jits = {}
         self._current_tables = None
+        self._local_heat = None
 
     # ------------------------------------------------------------------
     def _fields(self, t: StaticTables, element, charge, potential_boundary_prev, T_bg, Vd):
         p = self.params
+        # every vmax-capped compaction (charge update, banded cvac correction,
+        # current-solver tunnel block) silently truncates via
+        # jnp.nonzero(size=vmax); vacancy generation grows the population, so
+        # detect overflow here and let the host grow vmax + re-trace (the
+        # cvac/tunnel subsets are subsets of the vacancy set, so one flag
+        # covers all three)
+        v_overflow = jnp.sum(element == int(ELEM.VACANCY)) > self.vmax
         charge = update_charge_compact(
             element, charge, t.neigh_idx, t.any_metal_nbr, self.vmax
         )
@@ -257,12 +272,14 @@ class VCMModel:
             etype=etype,
             cg_iterations=cg.iterations,
             q_overflow=q_overflow,
+            v_overflow=v_overflow,
         )
 
     def _fields_banded(self, t: StaticTables, bk: BandedK, element, charge,
                        potential_boundary_prev, T_bg, Vd):
         """_fields with the banded-MXU K solve (solvers/banded.py)."""
         p = self.params
+        v_overflow = jnp.sum(element == int(ELEM.VACANCY)) > self.vmax
         charge = update_charge_compact(
             element, charge, t.neigh_idx, t.any_metal_nbr, self.vmax
         )
@@ -292,6 +309,7 @@ class VCMModel:
             etype=etype,
             cg_iterations=cg.iterations,
             q_overflow=q_overflow,
+            v_overflow=v_overflow,
         )
 
     @staticmethod
@@ -305,6 +323,7 @@ class VCMModel:
             res.done.astype(jnp.float64),
             fr.cg_iterations.astype(jnp.float64),
             fr.q_overflow.astype(jnp.float64),
+            fr.v_overflow.astype(jnp.float64),
         ])
 
     def _step_fused(self, t: StaticTables, element, charge, pb_prev, T_bg, Vd, rand_buf):
@@ -324,6 +343,22 @@ class VCMModel:
             self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
         )
         return fr, res, self._pack_diag(fr, res)
+
+    def _invalidate_jits(self):
+        """Rebuild EVERY executable that baked qmax/vmax in at trace time.
+        Must cover the batched (`_multi_jits`) and native-RNG
+        (`_step_native_jit`) caches too: they close over the caps the same
+        way, so a stale entry would re-detect overflow forever (round-1
+        advisor finding)."""
+        self._fields_jit = jax.jit(self._fields)
+        self._fields_banded_jit = jax.jit(self._fields_banded)
+        self._step_jit = jax.jit(self._step_fused)
+        self._step_banded_jit = jax.jit(self._step_fused_banded)
+        self._multi_jits = {}
+        if hasattr(self, "_step_native_jit"):
+            del self._step_native_jit
+        self._power_jit = None       # build_power_system bakes vmax in too
+        self._step_full_jit = None
 
     def _run_step(self, state: DeviceState, Vd, rand_buf):
         if self.banded is not None:
@@ -395,14 +430,14 @@ class VCMModel:
         fr, res, diag = self._run_step(state, Vd, rand_buf)
         d = np.asarray(diag)
 
-        while d[5] != 0.0:   # q_overflow
-            # grow the charged-site cap and re-trace (rare: the defect
+        while d[5] != 0.0 or d[6] != 0.0:   # q_overflow / v_overflow
+            # grow the exceeded cap(s) and re-trace (rare: the defect
             # population roughly doubled since model construction)
-            self.qmax *= 2
-            self._fields_jit = jax.jit(self._fields)
-            self._fields_banded_jit = jax.jit(self._fields_banded)
-            self._step_jit = jax.jit(self._step_fused)
-            self._step_banded_jit = jax.jit(self._step_fused_banded)
+            if d[5] != 0.0:
+                self.qmax *= 2
+            if d[6] != 0.0:
+                self.vmax *= 2
+            self._invalidate_jits()
             fr, res, diag = self._run_step(state, Vd, rand_buf)
             d = np.asarray(diag)
 
@@ -493,8 +528,6 @@ class VCMModel:
         the single-step path.
         """
         key = (k, rand_chunk)
-        if not hasattr(self, "_multi_jits"):
-            self._multi_jits = {}
         if key not in self._multi_jits:
             # on TPU the f64 cumsum inside the scan body lowers to a u32
             # reduce-window whose scoped allocation exceeds the default
@@ -513,9 +546,10 @@ class VCMModel:
             self.tables, self.banded, state.element, state.charge,
             state.potential_boundary, state.T_bg, Vd, rand_buf, k, rand_chunk,
         )
-        d = np.asarray(diag)                     # (k, 6) one batched pull
-        if (d[:, 3] == 0.0).any() or (d[:, 5] != 0.0).any():
-            # exhaustion/overflow inside the batch: replay sequentially
+        d = np.asarray(diag)                     # (k, 7) one batched pull
+        if (d[:, 3] == 0.0).any() or (d[:, 5] != 0.0).any() or (d[:, 6] != 0.0).any():
+            # exhaustion/overflow inside the batch: replay sequentially (the
+            # single-step path grows the caps and invalidates this cache)
             stats_list = []
             for _ in range(k):
                 state, stats = self.superstep(state, Vd, stream, rand_chunk)
@@ -539,6 +573,126 @@ class VCMModel:
         ]
         return new_state, stats_list
 
+    # ------------------------------------------------------------------
+    # module-timed superstep: separate dispatches per physics module so the
+    # reference's per-module timing lines (MPI_Wtime brackets,
+    # kmc_main.cpp:452-530) carry MEASURED values instead of the fused
+    # superstep total. Identical math and order to the fused path; slower
+    # (one dispatch per module) — opt in via driver --module-timing.
+    # ------------------------------------------------------------------
+    def superstep_timed(
+        self, state: DeviceState, Vd: float, stream, rand_chunk: int = 8192
+    ) -> Tuple[DeviceState, dict]:
+        import time as _time
+
+        p = self.params
+        if not hasattr(self, "_timed_jits"):
+            def _phase_charge(t, element, charge):
+                v_ovf = jnp.sum(element == int(ELEM.VACANCY)) > self.vmax
+                return (
+                    update_charge_compact(
+                        element, charge, t.neigh_idx, t.any_metal_nbr, self.vmax
+                    ),
+                    v_ovf,
+                )
+
+            def _phase_boundary(t, bk, element, charge, pb_prev, Vd):
+                if bk is not None:
+                    pot, cg = solve_potential_boundary_banded(
+                        bk, self.band_meta, element, charge, pb_prev, Vd,
+                        p.high_G, p.low_G, p.num_atoms_first_layer, p.nn_dist,
+                        jnp.asarray(np.asarray(p.lattice)), bool(p.pbc),
+                        self.vmax,
+                    )
+                else:
+                    pot, cg = solve_potential_boundary(
+                        element, charge, pb_prev, t.k_neigh_idx, t.metal_edge,
+                        Vd, p.high_G, p.low_G, p.num_atoms_first_layer,
+                    )
+                return pot, cg.iterations
+
+            def _phase_pair_rates(t, element, charge, pot_b, T_bg):
+                pot_pair, q_ovf = pairwise_potential(
+                    t.pos, charge, p.cutoff_radius, p.sigma, p.k, qmax=self.qmax
+                )
+                pot_sum = pot_pair + pot_b
+                P, etype = build_event_table(
+                    element, charge, pot_sum, T_bg,
+                    t.act_neigh, t.act_self2, t.act_layer,
+                    t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+                    p.freq, p.sigma, p.k, rows=t.act_idx,
+                )
+                return pot_sum, P, etype, q_ovf
+
+            self._timed_jits = {
+                "charge": jax.jit(_phase_charge),
+                "boundary": jax.jit(_phase_boundary),
+                "pair": jax.jit(_phase_pair_rates),
+            }
+
+        def timed(fn, *args):
+            t0 = _time.perf_counter()
+            out = jax.block_until_ready(fn(*args))
+            return out, _time.perf_counter() - t0
+
+        t = self.tables
+        (charge, v_ovf), dt_charge = timed(
+            self._timed_jits["charge"], t, state.element, state.charge
+        )
+        if bool(np.asarray(v_ovf)):
+            self.vmax *= 2
+            self._invalidate_jits()
+            del self._timed_jits
+            return self.superstep_timed(state, Vd, stream, rand_chunk)
+        (pot_b, cg_iters), dt_boundary = timed(
+            self._timed_jits["boundary"], t, self.banded, state.element,
+            charge, state.potential_boundary, Vd,
+        )
+        (pot_sum, P, etype, q_ovf), dt_pair = timed(
+            self._timed_jits["pair"], t, state.element, charge, pot_b, state.T_bg
+        )
+        if bool(np.asarray(q_ovf)):
+            self.qmax *= 2
+            self._invalidate_jits()
+            del self._timed_jits
+            return self.superstep_timed(state, Vd, stream, rand_chunk)
+
+        t0 = _time.perf_counter()
+        rand_buf = jnp.asarray(stream.peek(rand_chunk))
+        res = self._events_jit(
+            t, state.element, charge, P, etype, rand_buf,
+            jnp.asarray(0.0, jnp.float64),
+        )
+        element, charge2, Pm = res.element, res.charge, res.P
+        n_events = int(res.n_events)
+        ev_time = res.event_time
+        stream.advance(int(res.draws_used))
+        while not bool(res.done):
+            rand_buf = jnp.asarray(stream.peek(rand_chunk))
+            res = self._events_jit(t, element, charge2, Pm, etype, rand_buf, ev_time)
+            element, charge2, Pm = res.element, res.charge, res.P
+            n_events += int(res.n_events)
+            ev_time = res.event_time
+            stream.advance(int(res.draws_used))
+        jax.block_until_ready(element)
+        dt_events = _time.perf_counter() - t0
+
+        new_state = state._replace(
+            element=element, charge=charge2,
+            potential_boundary=pot_b, potential_charge=pot_sum,
+            kmc_time=state.kmc_time + ev_time,
+        )
+        stats = {
+            "n_events": n_events,
+            "event_time": float(ev_time),
+            "cg_iterations": int(cg_iters),
+            "t_charge": dt_charge,
+            "t_boundary": dt_boundary,
+            "t_pairwise": dt_pair,
+            "t_events": dt_events,
+        }
+        return new_state, stats
+
     def superstep_native(
         self, state: DeviceState, Vd: float, key
     ) -> Tuple[DeviceState, dict, jax.Array]:
@@ -559,13 +713,21 @@ class VCMModel:
                 return fr, res, diag, key
 
             self._step_native_jit = jax.jit(_step_native, static_argnums=())
+        key_in = key
         fr, res, diag, key = self._step_native_jit(
             self.tables, self.banded, state.element, state.charge,
             state.potential_boundary, state.T_bg, Vd, key,
         )
         d = np.asarray(diag)
-        if d[5] != 0.0:
-            raise RuntimeError(f"charged-site count exceeded qmax={self.qmax}")
+        if d[5] != 0.0 or d[6] != 0.0:
+            # grow cap(s) + re-trace; the input key deterministically
+            # reproduces the same draws on replay
+            if d[5] != 0.0:
+                self.qmax *= 2
+            if d[6] != 0.0:
+                self.vmax *= 2
+            self._invalidate_jits()
+            return self.superstep_native(state, Vd, key_in)
         new_state = state._replace(
             element=res.element,
             charge=res.charge,
@@ -628,7 +790,8 @@ class VCMModel:
         )
         n = element.shape[0]
         site_power = jnp.zeros(n, atom_power.dtype).at[ct.atom_ind].set(atom_power)
-        return I_macro, site_power, m, iters
+        v_overflow = jnp.sum(atom_elem == int(ELEM.VACANCY)) > self.vmax
+        return I_macro, site_power, m, iters, v_overflow
 
     def update_power(self, state: DeviceState, Vd: float, m_prev=None):
         """Current + dissipated power (+ returns I_macro [A])."""
@@ -637,20 +800,307 @@ class VCMModel:
             self._power_jit = jax.jit(self._power)
         if m_prev is None:
             m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
-        I_macro, site_power, m, iters = self._power_jit(
+        I_macro, site_power, m, iters, ovf = self._power_jit(
             ct, state.element, state.charge, state.cb_edge, m_prev, Vd
         )
+        if bool(ovf):
+            self.vmax *= 2
+            self._invalidate_jits()
+            return self.update_power(state, Vd, m_prev)
         return state._replace(power=site_power), float(I_macro), m, int(iters)
 
     def update_temperature(self, state: DeviceState, event_time: float) -> DeviceState:
-        """Global capacitative heating (Device::updateTemperature,
-        heat_solver.cpp:106-140), applied over the superstep's event time."""
+        """Heat update (Device::updateTemperature, heat_solver.cpp:55-97):
+        global capacitative model if ``solve_heating_global``, else the local
+        Laplacian model if ``solve_heating_local`` (steady-state/transient
+        dispatch per the reference's rule), applied over ``event_time``."""
         p = self.params
-        T_new = update_temperature_global(
-            state.T_bg, state.power, event_time, p.dissipation_constant,
-            p.background_temp, p.t_ox, p.A, p.c_p,
+        if p.solve_heating_global:
+            T_new = update_temperature_global(
+                state.T_bg, state.power, event_time, p.dissipation_constant,
+                p.background_temp, p.t_ox, p.A, p.c_p,
+            )
+            return state._replace(T_bg=T_new)
+        if p.solve_heating_local:
+            temp = update_temperature_local_ref(
+                self.local_heat, state.temperature, state.power, state.element,
+                jnp.asarray(event_time, jnp.float64), p.delta_t, p.tau,
+                p.background_temp, p.nn_dist * 1e-10,
+                p.k_th_interface, p.k_th_vacancies,
+            )
+            return state._replace(temperature=temp)
+        return state
+
+    @property
+    def local_heat(self):
+        if getattr(self, "_local_heat", None) is None:
+            self._local_heat = build_local_heat(
+                self.lat.neigh_idx, self.lat.N, self.params.num_atoms_contact
+            )
+        return self._local_heat
+
+    # ------------------------------------------------------------------
+    # deck-flag variants: fields-only (perturb_structure=0) and events-only
+    # (solve_potential=0) supersteps — kmc_main.cpp gates each module
+    # ------------------------------------------------------------------
+    def fields_only(self, state: DeviceState, Vd: float) -> Tuple[DeviceState, dict]:
+        """Charge + potentials without the KMC event step
+        (perturb_structure=0: "turn off to only calculate fields",
+        kmc_main.cpp:484 / parameters.txt comment)."""
+        fr = self._run_fields(state, Vd)
+        if bool(np.asarray(fr.q_overflow)) or bool(np.asarray(fr.v_overflow)):
+            if bool(np.asarray(fr.q_overflow)):
+                self.qmax *= 2
+            if bool(np.asarray(fr.v_overflow)):
+                self.vmax *= 2
+            self._invalidate_jits()
+            return self.fields_only(state, Vd)
+        new_state = state._replace(
+            charge=fr.charge,
+            potential_boundary=fr.potential_boundary,
+            potential_charge=fr.potential_sum,
         )
-        return state._replace(T_bg=T_new)
+        return new_state, {"cg_iterations": int(fr.cg_iterations)}
+
+    def superstep_events_only(
+        self, state: DeviceState, stream, rand_chunk: int = 8192
+    ) -> Tuple[DeviceState, dict]:
+        """KMC events on the CURRENT (stale) potential and charge
+        (solve_potential=0 decks: the reference's event step reads whatever
+        site_potential_charge holds, kmc_main.cpp:491)."""
+        p = self.params
+        if not hasattr(self, "_events_only_jit"):
+            def _ev(t, element, charge, potential, T_bg, rand_buf):
+                P, etype = build_event_table(
+                    element, charge, potential, T_bg,
+                    t.act_neigh, t.act_self2, t.act_layer,
+                    t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+                    p.freq, p.sigma, p.k, rows=t.act_idx,
+                )
+                res = run_event_loop(
+                    element, charge, P, etype, t.act_neigh, rand_buf,
+                    p.freq, act_idx=t.act_idx, abs2act=t.abs2act,
+                )
+                return res, etype
+
+            self._events_only_jit = jax.jit(_ev)
+        rand_buf = jnp.asarray(stream.peek(rand_chunk))
+        res, etype = self._events_only_jit(
+            self.tables, state.element, state.charge, state.potential_charge,
+            state.T_bg, rand_buf,
+        )
+        n_events = int(res.n_events)
+        ev_time = res.event_time
+        stream.advance(int(res.draws_used))
+        element, charge, P = res.element, res.charge, res.P
+        while not bool(res.done):
+            rand_buf = jnp.asarray(stream.peek(rand_chunk))
+            res = self._events_jit(
+                self.tables, element, charge, P, etype, rand_buf, ev_time
+            )
+            element, charge, P = res.element, res.charge, res.P
+            n_events += int(res.n_events)
+            ev_time = res.event_time
+            stream.advance(int(res.draws_used))
+        new_state = state._replace(
+            element=element, charge=charge,
+            kmc_time=state.kmc_time + ev_time,
+        )
+        return new_state, {
+            "n_events": n_events,
+            "event_time": float(ev_time),
+            "cg_iterations": 0,
+        }
+
+    # ------------------------------------------------------------------
+    # fused full-physics superstep: charge -> K potential -> pairwise ->
+    # sum -> CURRENT/POWER -> events -> heat, ONE executable.
+    #
+    # Module order matches the reference superstep (kmc_main.cpp:334-508):
+    # the power solve runs AFTER the potential updates and BEFORE events, so
+    # it sees THIS superstep's charge and potentials; the heat update needs
+    # this superstep's event time, so it closes the step (the committed
+    # reference never calls Device::updateTemperature — comm_T nulled — its
+    # signature updateTemperature(..., step_time), Device.h:198, fixes the
+    # post-events position).
+    # ------------------------------------------------------------------
+    def _pack_diag_full(self, fr, res, pw_ovf, I_macro, T_new, pow_iters, P_tot):
+        return jnp.concatenate([
+            self._pack_diag(fr, res)[:6],
+            jnp.stack([
+                (fr.v_overflow | pw_ovf).astype(jnp.float64),
+                I_macro,
+                T_new,
+                pow_iters.astype(jnp.float64),
+                P_tot,
+            ]),
+        ])
+
+    def _step_full(self, t: StaticTables, bk, ct, element, charge, pb_prev,
+                   cb_edge, temperature, T_bg, m_prev, Vd, rand_buf):
+        p = self.params
+        if bk is not None:
+            fr = self._fields_banded(t, bk, element, charge, pb_prev, T_bg, Vd)
+        else:
+            fr = self._fields(t, element, charge, pb_prev, T_bg, Vd)
+
+        # current + dissipated power on THIS superstep's charge
+        I_macro, site_power, m_new, pow_iters, pw_ovf = self._power(
+            ct, element, fr.charge, cb_edge, m_prev, Vd
+        )
+
+        res = run_event_loop(
+            element, fr.charge, fr.P, fr.etype, t.act_neigh, rand_buf,
+            p.freq, act_idx=t.act_idx, abs2act=t.abs2act,
+        )
+
+        T_new = T_bg
+        temp_new = temperature
+        if p.solve_heating_global:
+            T_new = update_temperature_global(
+                T_bg, site_power, res.event_time, p.dissipation_constant,
+                p.background_temp, p.t_ox, p.A, p.c_p,
+            )
+        elif p.solve_heating_local:
+            temp_new = update_temperature_local_ref(
+                self.local_heat, temperature, site_power, res.element,
+                res.event_time, p.delta_t, p.tau, p.background_temp,
+                p.nn_dist * 1e-10, p.k_th_interface, p.k_th_vacancies,
+            )
+        P_tot = jnp.sum(site_power)
+        diag = self._pack_diag_full(
+            fr, res, pw_ovf, I_macro, T_new, pow_iters, P_tot
+        )
+        return fr, res, site_power, m_new, T_new, temp_new, diag
+
+    def superstep_full(
+        self, state: DeviceState, Vd: float, stream, m_prev=None,
+        rand_chunk: int = 8192,
+    ) -> Tuple[DeviceState, dict, jax.Array]:
+        """Full-physics superstep in one dispatch. Returns
+        (state', stats, m_warm) where m_warm warm-starts the next power
+        solve (virtual potentials, unscaled)."""
+        if self._step_full_jit is None:
+            self._step_full_jit = jax.jit(self._step_full)
+        if m_prev is None:
+            m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
+        rand_buf = jnp.asarray(stream.peek(rand_chunk))
+        ct = self.current_tables
+        fr, res, site_power, m_new, T_new, temp_new, diag = self._step_full_jit(
+            self.tables, self.banded, ct, state.element, state.charge,
+            state.potential_boundary, state.cb_edge, state.temperature,
+            state.T_bg, m_prev, Vd, rand_buf,
+        )
+        d = np.asarray(diag)
+        if d[5] != 0.0 or d[6] != 0.0:
+            if d[5] != 0.0:
+                self.qmax *= 2
+            if d[6] != 0.0:
+                self.vmax *= 2
+            self._invalidate_jits()
+            return self.superstep_full(state, Vd, stream, m_prev, rand_chunk)
+        if d[3] == 0.0:
+            # rand buffer exhausted mid-events: the fused step already folded
+            # heat over a partial event time — discard (stream was peeked
+            # only) and replay with a larger buffer
+            return self.superstep_full(state, Vd, stream, m_prev, rand_chunk * 4)
+        stream.advance(int(d[1]))
+        new_state = state._replace(
+            element=res.element,
+            charge=res.charge,
+            potential_boundary=fr.potential_boundary,
+            potential_charge=fr.potential_sum,
+            power=site_power,
+            temperature=temp_new,
+            T_bg=T_new,
+            kmc_time=state.kmc_time + res.event_time,
+        )
+        stats = {
+            "n_events": int(d[0]),
+            "event_time": float(d[2]),
+            "cg_iterations": int(d[4]),
+            "I_macro": float(d[7]),
+            "T_bg": float(d[8]),
+            "power_cg_iterations": int(d[9]),
+            "P_tot": float(d[10]),
+        }
+        return new_state, stats, m_new
+
+    def superstep_full_multi(
+        self, state: DeviceState, Vd: float, stream, k: int, m_prev=None,
+        rand_chunk: int = 2048,
+    ):
+        """k full-physics supersteps per dispatch (lax.scan over _step_full,
+        shared rand cursor — same batching contract as superstep_multi)."""
+        from jax import lax
+
+        if m_prev is None:
+            m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
+        key = ("full", k, rand_chunk)
+        if key not in self._multi_jits:
+            def _multi(t, bk, ct, element, charge, pb, cb, temp, T_bg, m,
+                       Vd, rand_buf):
+                def body(carry, _):
+                    element, charge, pb, pc, temp, T_bg, m, cursor = carry
+                    window = lax.dynamic_slice(rand_buf, (cursor,), (rand_chunk,))
+                    fr, res, site_power, m, T_bg, temp, diag = self._step_full(
+                        t, bk, ct, element, charge, pb, cb, temp, T_bg, m,
+                        Vd, window,
+                    )
+                    carry = (
+                        res.element, res.charge, fr.potential_boundary,
+                        fr.potential_sum, temp, T_bg, m,
+                        cursor + res.draws_used,
+                    )
+                    return carry, (diag, site_power)
+
+                init = (element, charge, pb, jnp.zeros_like(pb), temp, T_bg,
+                        m, jnp.asarray(0, jnp.int32))
+                (element, charge, pb, pc, temp, T_bg, m, cursor), (
+                    diag, powers) = lax.scan(body, init, None, length=k)
+                return element, charge, pb, pc, temp, T_bg, m, diag, powers[-1]
+
+            opts = (
+                {"compiler_options": {"xla_tpu_scoped_vmem_limit_kib": 27648}}
+                if jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+                else {}
+            )
+            self._multi_jits[key] = jax.jit(_multi, **opts)
+        rand_buf = jnp.asarray(stream.peek(k * rand_chunk))
+        ct = self.current_tables
+        element, charge, pb, pc, temp, T_bg, m, diag, power = self._multi_jits[key](
+            self.tables, self.banded, ct, state.element, state.charge,
+            state.potential_boundary, state.cb_edge, state.temperature,
+            state.T_bg, m_prev, Vd, rand_buf,
+        )
+        d = np.asarray(diag)                     # (k, 11)
+        if (d[:, 3] == 0.0).any() or (d[:, 5] != 0.0).any() or (d[:, 6] != 0.0).any():
+            stats_list = []
+            for _ in range(k):
+                state, stats, m_prev = self.superstep_full(
+                    state, Vd, stream, m_prev, rand_chunk
+                )
+                stats_list.append(stats)
+            return state, stats_list, m_prev
+        stream.advance(int(d[:, 1].sum()))
+        new_state = state._replace(
+            element=element, charge=charge, potential_boundary=pb,
+            potential_charge=pc, power=power, temperature=temp, T_bg=T_bg,
+            kmc_time=state.kmc_time + d[:, 2].sum(),
+        )
+        stats_list = [
+            {
+                "n_events": int(d[i, 0]),
+                "event_time": float(d[i, 2]),
+                "cg_iterations": int(d[i, 4]),
+                "I_macro": float(d[i, 7]),
+                "T_bg": float(d[i, 8]),
+                "power_cg_iterations": int(d[i, 9]),
+                "P_tot": float(d[i, 10]),
+            }
+            for i in range(k)
+        ]
+        return new_state, stats_list, m
 
 
 def _next_pow2(v: int) -> int:

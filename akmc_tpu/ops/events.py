@@ -291,7 +291,12 @@ def run_event_loop(
 
         r_time = rand_buf[cnt + 1]
         ev_time = jnp.where(ok, -jnp.log(r_time) / total, jnp.inf)
-        return (element, charge, P, R, cnt + 2, ev_time, n_ev + 1)
+        # a total-rate-0 iteration executes nothing and terminates via
+        # ev_time=inf: consume no draws and count no event (the reference's
+        # behavior here is degenerate/UB — no stream to match, but counting
+        # a spurious event would desync the host mt19937 cursor)
+        dcnt = jnp.where(ok, 2, 0).astype(jnp.int32)
+        return (element, charge, P, R, cnt + dcnt, ev_time, n_ev + dcnt // 2)
 
     init = (
         element,
@@ -392,7 +397,8 @@ def run_event_loop_native(
 
         r_time = jax.random.uniform(k_time, dtype=P.dtype)
         ev_time = jnp.where(ok, -jnp.log1p(-r_time) / total, jnp.inf)
-        return (element, charge, P, R, key, cnt + 2, ev_time, n_ev + 1)
+        dcnt = jnp.where(ok, 2, 0).astype(jnp.int32)
+        return (element, charge, P, R, key, cnt + dcnt, ev_time, n_ev + dcnt // 2)
 
     init = (
         element, charge, P, R0, key,

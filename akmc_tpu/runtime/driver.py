@@ -23,8 +23,6 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-import jax.numpy as jnp
-
 from akmc_tpu.config import KMCParameters
 from akmc_tpu.lattice import build_lattice, read_xyz, write_xyz_snapshot
 from akmc_tpu.models.vcm import VCMModel
@@ -36,8 +34,10 @@ class OutputLog:
     """Buffered text log matching the reference's outputBuffer/outputFile
     behavior (kmc_main.cpp:118-121, 520-527)."""
 
-    def __init__(self, path: str):
-        if os.path.exists(path):
+    def __init__(self, path: str, append: bool = False):
+        # on resume, append: truncating would destroy the pre-interruption
+        # log the reference scrapers read (round-1 advisor finding)
+        if not append and os.path.exists(path):
             os.remove(path)
         self._f = open(path, "a")
         self._buf: list[str] = []
@@ -71,12 +71,15 @@ def load_structure(p: KMCParameters, base_dir: str = "."):
         xs.append(x)
         ys.append(y)
         zs.append(z)
-    return (
-        np.concatenate(elems),
-        np.concatenate(xs),
-        np.concatenate(ys),
-        np.concatenate(zs),
-    )
+    e = np.concatenate(elems)
+    x, y, z = np.concatenate(xs), np.concatenate(ys), np.concatenate(zs)
+    if p.shift:
+        # translate the cell across the periodic boundary at load
+        # (Device ctor, Device.cpp:44-45)
+        from akmc_tpu.lattice import translate_cell
+
+        x, y, z = translate_cell(x, y, z, p.lattice, p.shifts)
+    return e, x, y, z
 
 
 def run(
@@ -89,6 +92,7 @@ def run(
     checkpoint_every: int = 0,
     resume_from: Optional[str] = None,
     steps_per_dispatch: int = 1,
+    module_timing: bool = False,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
 
@@ -110,8 +114,12 @@ def run(
         jax.config.update("jax_compilation_cache_dir", jcache)
 
     os.makedirs(workdir, exist_ok=True)
-    out = OutputLog(os.path.join(workdir, "output1_0.txt"))
-    metrics = open(os.path.join(workdir, "metrics.jsonl"), "w")
+    out = OutputLog(
+        os.path.join(workdir, "output1_0.txt"), append=bool(resume_from)
+    )
+    metrics = open(
+        os.path.join(workdir, "metrics.jsonl"), "a" if resume_from else "w"
+    )
 
     element, x, y, z = load_structure(p, base_dir)
     if p.restart:
@@ -169,31 +177,52 @@ def run(
             kmc_step_count = 0
             state = state._replace(kmc_time=state.kmc_time * 0.0)
 
-        # batching (one dispatch per k supersteps) only applies to the
-        # committed-parity path: full physics interleaves current/heating
-        # between supersteps on host
-        spd = steps_per_dispatch if not full_physics else 1
+        spd = steps_per_dispatch
 
         while kmc_time < t_bias:
             t0 = time.perf_counter()
-            I_macro = None
-            if full_physics:
-                # current + dissipated power before events
-                # (kmc_main.cpp:461-474 position in the module sequence)
-                state, I_macro, m_warm, _ = model.update_power(state, Vd, m_warm)
-            if spd > 1:
+            if not p.perturb_structure:
+                # fields-only mode ("turn off to only calculate fields",
+                # parameters.txt; kmc_main.cpp:506-511): the field solvers run
+                # each iteration, no events; once kmc_step_count > 0 the clock
+                # jumps to t (so exactly two field passes are logged)
+                if p.solve_potential:
+                    state, stats = model.fields_only(state, Vd)
+                else:
+                    stats = {"cg_iterations": 0}
+                stats = {**stats, "n_events": 0, "event_time": 0.0}
+                stats_list = [stats]
+                if kmc_step_count > 0:
+                    kmc_time = t_bias
+            elif full_physics:
+                # fused full-physics superstep: charge -> potentials -> power
+                # -> events -> heat, one executable (module order of
+                # kmc_main.cpp:334-508; power sees THIS superstep's charge)
+                if spd > 1:
+                    state, stats_list, m_warm = model.superstep_full_multi(
+                        state, Vd, kmc_stream, k=spd, m_prev=m_warm
+                    )
+                else:
+                    state, stats, m_warm = model.superstep_full(
+                        state, Vd, kmc_stream, m_prev=m_warm
+                    )
+                    stats_list = [stats]
+            elif not p.solve_potential:
+                # events on the stale potential (kmc_main.cpp gates every
+                # field module on solve_potential, the event step only on
+                # perturb_structure)
+                state, stats = model.superstep_events_only(state, kmc_stream)
+                stats_list = [stats]
+            elif module_timing:
+                state, stats = model.superstep_timed(state, Vd, kmc_stream)
+                stats_list = [stats]
+            elif spd > 1:
                 state, stats_list = model.superstep_multi(
                     state, Vd, kmc_stream, k=spd
                 )
             else:
                 state, stats = model.superstep(state, Vd, kmc_stream)
                 stats_list = [stats]
-            if full_physics and (p.solve_heating_global or p.solve_heating_local):
-                # global capacitative T update over this superstep's event
-                # time (Device::updateTemperature, heat_solver.cpp:106-140)
-                state = model.update_temperature(
-                    state, stats_list[0]["event_time"]
-                )
             t1 = time.perf_counter()
             dt = (t1 - t0) / len(stats_list)
 
@@ -203,14 +232,30 @@ def run(
                 # for checkpoints
                 kmc_time += stats["event_time"]
 
-                # module-level timings are merged in the one-jit design; the
-                # scraped strings are kept with the superstep total
-                out.write(f"Z - calculation time - charge [s]{_g(dt)}\n")
-                out.write(
-                    f"Z - calculation time - potential from boundaries [s]{_g(dt)}\n"
-                )
-                out.write(f"Z - calculation time - potential from charges [s]{_g(dt)}\n")
-                out.write(f"Z - calculation time - kmc events [s]{_g(dt)}\n")
+                # per-module timing lines (labels from kmc_main.cpp:452-530):
+                # measured per module under --module-timing; otherwise the
+                # fused one-executable design makes module boundaries
+                # invisible to wall-clocks and each line carries the
+                # superstep total
+                if p.solve_potential:
+                    out.write(
+                        "Z - calculation time - charge [s]"
+                        f"{_g(stats.get('t_charge', dt))}\n"
+                    )
+                    out.write(
+                        "Z - calculation time - potential from boundaries [s]"
+                        f"{_g(stats.get('t_boundary', dt))}\n"
+                    )
+                    out.write(
+                        "Z - calculation time - potential from charges [s]"
+                        f"{_g(stats.get('t_pairwise', dt))}\n"
+                    )
+                if p.perturb_structure:
+                    out.write(
+                        "Z - calculation time - kmc events [s]"
+                        f"{_g(stats.get('t_events', dt))}\n"
+                    )
+                I_macro = stats.get("I_macro")
                 if I_macro is not None:
                     # scraper schema (postprocessing/plot_IV.py:33,
                     # plot_conductance.py:34, plot_power.py:37; strings from
@@ -218,10 +263,12 @@ def run(
                     out.write(f"Current [uA]: {_g(I_macro * 1e6)}\n")
                     out.write(f"Conductance [uS]: {_g(abs(I_macro / Vd) * 1e6)}\n")
                     if p.solve_heating_global or p.solve_heating_local:
-                        p_tot = float(jnp.sum(state.power))
-                        out.write(f"Total dissipated power [mW]: {_g(p_tot * 1e3)}\n")
+                        out.write(
+                            "Total dissipated power [mW]: "
+                            f"{_g(stats['P_tot'] * 1e3)}\n"
+                        )
                 if full_physics and p.solve_heating_global:
-                    out.write(f"Global temperature [K]: {float(state.T_bg):.16f}\n")
+                    out.write(f"Global temperature [K]: {stats['T_bg']:.16f}\n")
                 out.write(f"KMC time is: {_g(kmc_time)}\n")
 
                 if kmc_step_count % p.output_freq == 0:
@@ -239,8 +286,6 @@ def run(
                             "step": kmc_step_count,
                             "kmc_time": kmc_time,
                             "superstep_s": dt,
-                            **({"I_macro_A": I_macro} if I_macro is not None else {}),
-                            **({"T_bg": float(state.T_bg)} if full_physics else {}),
                             **stats,
                         }
                     )
@@ -306,6 +351,10 @@ def main():
                          "overshoot t_switch by up to k-1 supersteps)")
     ap.add_argument("--resume-from", default=None,
                     help="resume from a checkpoint.npz (bit-identical)")
+    ap.add_argument("--module-timing", action="store_true",
+                    help="run each physics module as its own dispatch so the "
+                         "per-module 'Z - calculation time' lines carry "
+                         "measured values (slower than the fused superstep)")
     ap.add_argument(
         "--full-physics", action="store_true",
         help="enable the current/power/heating branch the committed "
@@ -321,6 +370,7 @@ def main():
         checkpoint_every=args.checkpoint_every,
         resume_from=args.resume_from,
         steps_per_dispatch=args.steps_per_dispatch,
+        module_timing=args.module_timing,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 

@@ -41,11 +41,15 @@ def run(n: int, devices: int, contrast: float, rtol_coeff: float = 1e-14):
     from akmc_tpu.solvers.cg import jacobi_cg
 
     nbr, w = make_system(n, contrast=contrast)
-    # symmetrize: A = D - (W + W^T)/2 restricted to the sampled pattern is
-    # enough for a CG stress test; build explicit operator pieces
+    # operator: A = (I + D_sym) - 0.5 (W + W^T) with
+    # D_sym_i = 0.5*(row_i(W) + col_i(W)) — symmetric and strictly
+    # diagonally dominant with positive diagonal, hence SPD (the +I is the
+    # boundary tie, mirroring the K matrix's contact reductions)
+    colsum = np.zeros(n)
+    np.add.at(colsum, nbr.reshape(-1), w.reshape(-1))
     nbr_j = jnp.asarray(nbr)
     w_j = jnp.asarray(w)
-    diag = jnp.asarray(w.sum(1) + 1.0)      # +1: boundary tie keeps SPD
+    diag = jnp.asarray(0.5 * (w.sum(1) + colsum) + 1.0)
 
     mesh = None
     if devices > 1:
@@ -56,11 +60,9 @@ def run(n: int, devices: int, contrast: float, rtol_coeff: float = 1e-14):
         diag = jax.device_put(diag, NamedSharding(mesh, P()))
 
     def A(x):
-        # non-symmetric sampled part made symmetric by averaging with the
-        # transpose action is overkill for a solver harness; use the
-        # guaranteed-SPD operator D + W_sym implicitly via normal form:
+        # -0.5 W via gather (row action) and -0.5 W^T via scatter (transpose
+        # action): together the symmetric off-diagonal part
         y = diag * x - 0.5 * jnp.sum(w_j * x[nbr_j], axis=1)
-        # add transpose action (scatter) for symmetry
         contrib = 0.5 * w_j * x[:, None]
         y = y - jnp.zeros_like(x).at[nbr_j.reshape(-1)].add(contrib.reshape(-1))
         return y

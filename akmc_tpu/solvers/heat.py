@@ -122,6 +122,72 @@ def _lap(lh: LocalHeat, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(lh.if_mask, nbr_sum - degree * t, 0.0)
 
 
+def update_temperature_local_ref(
+    lh: LocalHeat,
+    temperature: jnp.ndarray,
+    site_power: jnp.ndarray,
+    element: jnp.ndarray,
+    step_time,                     # [s] this superstep's event time (dynamic)
+    delta_t: float,
+    tau: float,
+    background_temp: float,
+    nn_dist_m: float,
+    k_th_interface: float,
+    k_th_vacancies: float,
+) -> jnp.ndarray:
+    """The reference's Device::updateTemperature LOCAL dispatch
+    (heat_solver.cpp:75-97), jit-safe:
+
+      * ``step_time > 1e3 * delta_t``  -> steady-state solve;
+      * otherwise                      -> ``int(step_time/delta_t) + 1``
+        transient explicit steps of duration ``delta_t`` each
+        (the reference's per-delta_t loop, heat_solver.cpp:89-95).
+
+    The transient count is data-dependent but bounded by 1001 (the
+    steady-state branch takes over beyond 1e3 steps) — a ``while_loop``
+    inside ``lax.cond``.
+    """
+    T0 = background_temp
+    T_1 = T0 + 1000.0
+    p_vac = 1.0 / ((nn_dist_m * k_th_interface) * (T_1 - T0))
+    p_non = 1.0 / ((nn_dist_m * k_th_vacancies) * (T_1 - T0))
+    is_vac = element == int(ELEM.VACANCY)
+    src = jnp.where(lh.if_mask, site_power * jnp.where(is_vac, p_vac, p_non), 0.0)
+
+    def transient(t):
+        n_steps = jnp.floor(step_time / delta_t).astype(jnp.int32) + 1
+        dt_eff = jnp.minimum(delta_t * tau, 0.2)   # explicit-step stability
+
+        def cond(c):
+            return c[1] < n_steps
+
+        def body(c):
+            t, i = c
+            return (t + dt_eff * (_lap(lh, t) + src * (T_1 - T0)), i + 1)
+
+        t, _ = jax.lax.while_loop(cond, body, (t, jnp.asarray(0, jnp.int32)))
+        return jnp.where(lh.if_mask, t, temperature)
+
+    def steady(t):
+        from akmc_tpu.solvers.cg import jacobi_cg
+
+        valid = lh.neigh_idx >= 0
+        degree = jnp.sum(valid, axis=1).astype(t.dtype)
+
+        def A(u):
+            uz = jnp.where(lh.if_mask, u, 0.0)
+            tj = jnp.where(valid, uz[lh.neigh_idx.clip(0)], 0.0)
+            y = degree * uz - jnp.sum(tj, axis=1)
+            return jnp.where(lh.if_mask, y, u)
+
+        b = src * (T_1 - T0)
+        inv_diag = jnp.where(lh.if_mask, 1.0 / jnp.maximum(degree, 1.0), 1.0)
+        res = jacobi_cg(A, b, jnp.zeros_like(b), inv_diag, 1e-10, 20000)
+        return jnp.where(lh.if_mask, T0 + res.x, temperature)
+
+    return jax.lax.cond(step_time > 1e3 * delta_t, steady, transient, temperature)
+
+
 def update_temperature_local(
     lh: LocalHeat,
     temperature: jnp.ndarray,      # (N,) [K]

@@ -73,7 +73,9 @@ def main():
             state, Vd, stream, k=K, rand_chunk=2048
         )
         times.append((time.perf_counter() - t0) / K)
-    assert all(s["n_events"] >= 1 for s in stats_list), "rates died mid-bench"
+        # liveness on EVERY batch: a mid-bench rate collapse would otherwise
+        # measure an empty event loop
+        assert all(s["n_events"] >= 1 for s in stats_list), "rates died mid-bench"
 
     val = float(np.median(times))
     print(

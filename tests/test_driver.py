@@ -13,7 +13,10 @@ from akmc_tpu.lattice import ELEM, write_xyz_snapshot
 from akmc_tpu.postprocessing.extract import parse_metrics_jsonl, parse_output_txt
 
 
-def _write_toy_deck(tmp_path, full=False, t_switch=1e-12):
+def _write_toy_deck(
+    tmp_path, full=False, t_switch=1e-12,
+    perturb=1, solve_potential=1, heating_local=0,
+):
     from tests.util_toy import toy_device
 
     p, lat = toy_device(nx=10, ny=3, nz=3, contact_layers=3)
@@ -35,11 +38,12 @@ attempt_frequency = 10e13
 lattice = {p.lattice[0]} {p.lattice[1]} {p.lattice[2]}
 nn_dist = {p.nn_dist}
 pbc = 0
-perturb_structure = 1
-solve_potential = 1
+perturb_structure = {perturb}
+solve_potential = {solve_potential}
 solve_current = {1 if full else 0}
-solve_heating_global = {1 if full else 0}
-solve_heating_local = 0
+solve_heating_global = {1 if (full and not heating_local) else 0}
+solve_heating_local = {heating_local}
+delta_t = 1e-13
 sigma = 3.5e-10
 epsilon = 23.0
 m_r = 0.85

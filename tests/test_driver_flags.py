@@ -1,0 +1,138 @@
+"""Deck-flag semantics the reference's main loop gates on
+(kmc_main.cpp:334-511): perturb_structure, solve_potential, shift,
+solve_heating_local, plus --module-timing telemetry."""
+
+import os
+import re
+
+import numpy as np
+
+from tests.test_driver import _patch_layers, _write_toy_deck
+
+
+def test_fields_only_mode(tmp_path, monkeypatch):
+    """perturb_structure=0: no events run; the field solvers execute each
+    iteration and the clock jumps to t once kmc_step_count > 0 — exactly two
+    logged field passes (kmc_main.cpp:506-511)."""
+    from akmc_tpu.runtime import driver
+
+    deck, p = _write_toy_deck(tmp_path, perturb=0, t_switch=1e-9)
+    _patch_layers(monkeypatch, p)
+    summary = driver.run(str(deck), workdir=str(tmp_path / "out"), log=False)
+    assert summary["total_steps"] == 2
+    out = open(tmp_path / "out" / "output1_0.txt").read()
+    # no event-module timing lines, no events executed
+    assert "kmc events" not in out
+    times = [float(m) for m in re.findall(r"KMC time is: ([\d.eE+-]+)", out)]
+    assert times == [0.0, 1e-9]
+    # potentials were actually computed
+    assert "potential from boundaries" in out
+    # structure unperturbed: final snapshot elements == initial snapshot
+    from akmc_tpu.lattice import read_xyz
+
+    folder = tmp_path / "out" / "Results_2.000000"
+    e0, *_ = read_xyz(str(folder / "snapshot_init.xyz"))
+    e1, *_ = read_xyz(str(folder / "snapshot_2.xyz"))
+    np.testing.assert_array_equal(e0, e1)
+
+
+def test_events_without_potential(tmp_path, monkeypatch):
+    """solve_potential=0 + perturb_structure=1: events run on the stale
+    (zero) potential; no field-module timing lines are logged."""
+    from akmc_tpu.runtime import driver
+
+    deck, p = _write_toy_deck(tmp_path, solve_potential=0)
+    _patch_layers(monkeypatch, p)
+    summary = driver.run(
+        str(deck), workdir=str(tmp_path / "out"), max_supersteps=3, log=False
+    )
+    assert summary["total_steps"] >= 1
+    out = open(tmp_path / "out" / "output1_0.txt").read()
+    assert "potential from boundaries" not in out
+    assert "kmc events" in out
+    times = [float(m) for m in re.findall(r"KMC time is: ([\d.eE+-]+)", out)]
+    assert all(t > 0 for t in times)
+
+
+def test_shift_translates_cell(tmp_path, monkeypatch):
+    """shift=1: coordinates are translated across the periodic boundary at
+    load (Device.cpp:44-45 -> translate_cell, utils.cpp:267-299)."""
+    from akmc_tpu.runtime import driver
+    from akmc_tpu.config import KMCParameters
+    from akmc_tpu.lattice import translate_cell, read_xyz
+
+    deck, p = _write_toy_deck(tmp_path)
+    # append shift config (y/z only: shifting x would scramble the contacts)
+    with open(deck, "a") as f:
+        f.write("shift = 1\nshifts = 0.0 0.5 0.5\n")
+    pp = KMCParameters.from_file(str(deck))
+    assert pp.shift and pp.shifts == [0.0, 0.5, 0.5]
+
+    e, x, y, z = read_xyz(str(tmp_path / "toy.xyz"))
+    xs, ys, zs = translate_cell(x, y, z, pp.lattice, pp.shifts)
+    got = driver.load_structure(pp, str(tmp_path))
+    np.testing.assert_array_equal(got[1], xs)
+    np.testing.assert_array_equal(got[2], ys)
+    np.testing.assert_array_equal(got[3], zs)
+    # x untouched (shift fraction 0), y/z actually moved
+    np.testing.assert_array_equal(got[1], x)
+    assert not np.array_equal(got[2], y)
+
+    # exact reference semantics: center -> lift below-cut up one cell -> center
+    cut = 0.5 * pp.lattice[1]
+    y0 = y - y.min()
+    y_ref = np.where(y0 < cut, y0 + pp.lattice[1], y0)
+    y_ref -= y_ref.min()
+    np.testing.assert_allclose(got[2], y_ref)
+
+
+def test_local_heating_wired(tmp_path, monkeypatch):
+    """solve_heating_local=1 (full physics): the LOCAL Laplacian model runs —
+    site temperatures move, the global T_bg does not (Device::updateTemperature
+    dispatch, heat_solver.cpp:75-97)."""
+    from akmc_tpu.runtime import driver
+    from akmc_tpu.runtime.checkpoint import load_checkpoint
+
+    deck, p = _write_toy_deck(tmp_path, full=True, heating_local=1)
+    _patch_layers(monkeypatch, p)
+    driver.run(
+        str(deck), workdir=str(tmp_path / "out"), max_supersteps=2, log=False,
+        committed_parity=False, checkpoint_every=1,
+    )
+    state, *_ = load_checkpoint(str(tmp_path / "out" / "checkpoint.npz"))
+    assert float(state.T_bg) == 300.0                      # global untouched
+    temp = np.asarray(state.temperature)
+    assert np.isfinite(temp).all()
+    assert (temp != 300.0).any(), "local model never ran"
+
+
+def test_module_timing_lines(tmp_path, monkeypatch):
+    """--module-timing: the four Z-lines carry per-module measured values
+    (not one repeated superstep total) and the trajectory is unchanged."""
+    from akmc_tpu.runtime import driver
+    from akmc_tpu.postprocessing.extract import parse_output_txt
+
+    deck, p = _write_toy_deck(tmp_path, t_switch=1e3)
+    _patch_layers(monkeypatch, p)
+    driver.run(str(deck), workdir=str(tmp_path / "a"), max_supersteps=3, log=False)
+    driver.run(
+        str(deck), workdir=str(tmp_path / "b"), max_supersteps=3, log=False,
+        module_timing=True,
+    )
+    da = parse_output_txt(str(tmp_path / "a" / "output1_0.txt"))
+    db = parse_output_txt(str(tmp_path / "b" / "output1_0.txt"))
+    assert db.kmc_times == da.kmc_times          # identical trajectory
+
+    out = open(tmp_path / "b" / "output1_0.txt").read()
+    per_step = re.findall(
+        r"charge \[s\]([\d.eE+-]+)\n"
+        r"Z - calculation time - potential from boundaries \[s\]([\d.eE+-]+)\n"
+        r"Z - calculation time - potential from charges \[s\]([\d.eE+-]+)\n"
+        r"Z - calculation time - kmc events \[s\]([\d.eE+-]+)",
+        out,
+    )
+    assert len(per_step) == 3
+    for vals in per_step:
+        vals = [float(v) for v in vals]
+        assert all(v > 0 for v in vals)
+        assert len(set(vals)) > 1, "module timings identical — not measured"

@@ -54,6 +54,104 @@ def test_full_physics_cycle():
     assert stats["n_events"] >= 1
 
 
+def _full_setup(heating="global"):
+    from tests.util_toy import toy_device
+
+    p, lat = toy_device(nx=10, ny=3, nz=3, contact_layers=3)
+    lat.element0[:] = make_substoichiometric(lat.element0, 0.3, ReferenceRNG(9))
+    p = p.replace(
+        solve_current=True,
+        solve_heating_global=heating == "global",
+        solve_heating_local=heating == "local",
+        dissipation_constant=1e-13,
+        t_ox=5e-9,
+        A=(12 * 2.0e-10) ** 2,
+        c_p=1.92,
+        delta_t=1e-13,
+        L_char=3.5e-10,
+        k_th_non_vacancy=0.5,
+        k_th_vacancies=5.0,
+        num_atoms_contact=p.num_atoms_first_layer * p.num_layers_contact,
+    )
+    return p, lat
+
+
+def test_fused_full_physics_order():
+    """The fused superstep solves power AFTER the potential/charge updates
+    and BEFORE events (kmc_main.cpp:334-508 module order): its I_macro must
+    equal update_power evaluated on THIS superstep's charge — and must NOT
+    equal the stale-charge value."""
+    p, lat = _full_setup()
+    model = VCMModel(p, lat, vmax=64, ne_max=512)
+    state = make_device_state(lat, p.background_temp)
+    Vd = 2.0
+    state = model.update_cb_edge(state, Vd)
+
+    # expected: power on the charge the fields pass computes this superstep
+    fr = model._run_fields(state, Vd)
+    state_updated = state._replace(charge=fr.charge)
+    _, I_this, _, _ = model.update_power(state_updated, Vd)
+    _, I_stale, _, _ = model.update_power(state, Vd)
+    assert I_this != I_stale, "toy setup too symmetric to distinguish order"
+
+    stream = BufferedStream(ReferenceRNG(1))
+    state2, stats, m = model.superstep_full(state, Vd, stream)
+    np.testing.assert_allclose(stats["I_macro"], I_this, rtol=1e-12)
+    assert abs(stats["I_macro"] - I_stale) > abs(I_this) * 1e-6
+    # heat folded in: T_bg advanced over this superstep's event time
+    assert stats["T_bg"] != 300.0
+    assert float(state2.T_bg) == stats["T_bg"]
+    assert stats["n_events"] >= 1
+    assert stats["P_tot"] != 0.0
+
+
+def test_full_multi_matches_sequential():
+    """k fused full-physics supersteps per dispatch == k sequential calls
+    (same contract as superstep_multi, incl. the m warm-start threading)."""
+    p, lat = _full_setup()
+    model = VCMModel(p, lat, vmax=64, ne_max=512)
+    Vd = 2.0
+
+    def init():
+        s = make_device_state(lat, p.background_temp)
+        return model.update_cb_edge(s, Vd)
+
+    k = 3
+    sa = init()
+    stream_a = BufferedStream(ReferenceRNG(1))
+    m = None
+    stats_a = []
+    for _ in range(k):
+        sa, st, m = model.superstep_full(sa, Vd, stream_a, m_prev=m, rand_chunk=2048)
+        stats_a.append(st)
+
+    sb = init()
+    stream_b = BufferedStream(ReferenceRNG(1))
+    sb, stats_b, mb = model.superstep_full_multi(sb, Vd, stream_b, k=k, rand_chunk=2048)
+
+    assert [s["n_events"] for s in stats_b] == [s["n_events"] for s in stats_a]
+    for key in ("event_time", "I_macro", "T_bg"):
+        np.testing.assert_allclose(
+            [s[key] for s in stats_b], [s[key] for s in stats_a], rtol=1e-12
+        )
+    np.testing.assert_array_equal(np.asarray(sb.element), np.asarray(sa.element))
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(m))
+    assert float(stream_a.peek(1)[0]) == float(stream_b.peek(1)[0])
+
+
+def test_fused_local_heating():
+    p, lat = _full_setup(heating="local")
+    model = VCMModel(p, lat, vmax=64, ne_max=512)
+    state = make_device_state(lat, p.background_temp)
+    state = model.update_cb_edge(state, 2.0)
+    stream = BufferedStream(ReferenceRNG(1))
+    state, stats, _ = model.superstep_full(state, 2.0, stream)
+    assert float(state.T_bg) == 300.0
+    temp = np.asarray(state.temperature)
+    assert np.isfinite(temp).all()
+    assert (temp != 300.0).any()
+
+
 def test_heat_global_analytic_limits():
     """T -> T_amb + P/k in steady state; T -> T0 at dt=0."""
     import jax.numpy as jnp

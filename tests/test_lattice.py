@@ -100,9 +100,11 @@ def test_translate_cell_and_sorts():
     x = np.array([0.0, 5.0, 9.0])
     y = np.array([1.0, 2.0, 3.0])
     z = np.array([0.0, 0.0, 0.0])
+    # reference semantics (translate_cell, utils.cpp:267-299): center ->
+    # lift coords below cut=shift*L up one cell -> re-center by the new min
     x2, y2, z2 = translate_cell(x, y, z, [10.0, 4.0, 4.0], [0.5, 0.5, 0.0])
     np.testing.assert_allclose(x2, [5.0, 0.0, 4.0])
-    np.testing.assert_allclose(y2, [3.0, 0.0, 1.0])
+    np.testing.assert_allclose(y2, [2.0, 3.0, 0.0])
 
     e = np.array([1, 2, 3])
     es, xs, ys, zs = sort_by_xyz(e, x2, y2, z2)
