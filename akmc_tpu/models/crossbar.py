@@ -142,6 +142,162 @@ def synthetic_stack(
     return e, x, y, z, lattice, params_patch
 
 
+def grid_stack(
+    n_yz: int = 24,
+    a: float = 2.131255,
+    contact_slices: int = 10,
+    oxide_slices: int = 20,
+    ti_slices: int = 8,
+    defect_fraction: float = 0.3,
+    seed: int = 0,
+):
+    """Grid-NATIVE TiN | HfO2 | Ti | TiN stack: every site lives on a fixed
+    two-sublattice slot enumeration, so the K adjacency's index offsets form
+    a SMALL static set and the potential solve runs on the gather-free DIA
+    operator (solvers/dia.py) at any scale.
+
+    Slot layout:  index(ix, s, iy, iz) = ((ix*2 + s)*n_yz + iy)*n_yz + iz
+    with sublattice s=0 the cubic grid (position ix,iy,iz * a) and s=1 the
+    cell-center slot (+a/2 on each axis). Center slots host interstitial
+    DEFECT sites in the oxide (a random ``defect_fraction`` subset); all
+    other center slots are NULL_ELEMENT placeholders that carry no edges, no
+    charge and no events — they only preserve the regular enumeration.
+    Contacts are positional like the reference's ([0, L) and [N-R, N) with
+    L = R = 2*n_yz^2 including the slice's null centers).
+
+    Open boundaries only (the 40 nm crossbar deck runs pbc=0).
+
+    Returns (element, x, y, z, lattice, params_patch).
+    """
+    rng = np.random.RandomState(seed)
+    nx_total = 2 * contact_slices + oxide_slices + ti_slices
+    slice_n = 2 * n_yz * n_yz
+    n = nx_total * slice_n
+
+    iy, iz = np.meshgrid(np.arange(n_yz), np.arange(n_yz), indexing="ij")
+    iy = iy.ravel()
+    iz = iz.ravel()
+
+    element = np.full(n, int(ELEM.NULL_ELEMENT), np.int32)
+    x = np.empty(n)
+    y = np.empty(n)
+    z = np.empty(n)
+    ox_lo, ox_hi = contact_slices, contact_slices + oxide_slices
+
+    for ix in range(nx_total):
+        base = ix * slice_n
+        g = base + iy * n_yz + iz                 # s=0 grid slots
+        c = base + n_yz * n_yz + iy * n_yz + iz   # s=1 center slots
+        x[g] = ix * a
+        y[g] = iy * a
+        z[g] = iz * a
+        x[c] = ix * a + a / 2
+        y[c] = iy * a + a / 2
+        z[c] = iz * a + a / 2
+        if ix < ox_lo or ix >= ox_hi + ti_slices:          # TiN contacts
+            element[g] = np.where((iy + iz + ix) % 2, int(ELEM.Ti), int(ELEM.N))
+        elif ix >= ox_hi:                                   # Ti scavenging
+            element[g] = int(ELEM.Ti)
+        else:                                               # HfO2 oxide
+            element[g] = np.where((iy + iz + ix) % 2, int(ELEM.Hf), int(ELEM.O))
+            n_def = int(defect_fraction * n_yz * n_yz)
+            picks = rng.choice(n_yz * n_yz, n_def, replace=False)
+            element[c[picks]] = int(ELEM.DEFECT)
+
+    lattice = np.array([nx_total * a, n_yz * a, n_yz * a])
+    params_patch = dict(
+        lattice=list(lattice),
+        num_atoms_first_layer=slice_n,
+        num_layers_contact=contact_slices,
+        num_atoms_contact=contact_slices * slice_n,
+        metals=["Ti", "N"],
+        pbc=False,
+    )
+    return element, x, y, z, lattice, params_patch
+
+
+def mask_null_slots(lat):
+    """Remove every adjacency entry that touches a NULL_ELEMENT slot (the
+    placeholders exist only to keep the slot enumeration regular; they carry
+    no physics). In-place on the Lattice's index tables; remaining entries
+    are left-compacted, -1 padded."""
+    null = lat.element0 == int(ELEM.NULL_ELEMENT)
+
+    def filt(tbl):
+        drop = null[:, None] | (null[np.clip(tbl, 0, None)] & (tbl >= 0))
+        out = np.where(drop, -1, tbl)
+        # left-compact each row (stable): valid entries first
+        key = out < 0
+        order = np.argsort(key, axis=1, kind="stable")
+        return np.take_along_axis(out, order, axis=1)
+
+    lat.neigh_idx[:] = filt(lat.neigh_idx)
+    lat.k_neigh_idx[:] = filt(lat.k_neigh_idx)
+    if lat.cutoff_idx is not None and lat.cutoff_idx.size:
+        lat.cutoff_idx[:] = filt(lat.cutoff_idx)
+    return lat
+
+
+def build_grid_crossbar(
+    n_yz: int = 24,
+    contact_slices: int = 10,
+    oxide_slices: int = 20,
+    ti_slices: int = 8,
+    defect_fraction: float = 0.3,
+    vacancy_concentration: float = 0.05,
+    seed: int = 0,
+    a: float = 2.131255,
+    cache_dir=None,
+    freq: float = 10e13,
+):
+    """grid_stack -> substoichiometry -> Lattice with null links masked ->
+    (KMCParameters, Lattice). The one-call crossbar construction used by the
+    scale benchmarks and the crossbar runner."""
+    from akmc_tpu.config import KMCParameters, Layer
+    from akmc_tpu.lattice import build_lattice
+    from akmc_tpu.rng import ReferenceRNG
+    from akmc_tpu.state import make_substoichiometric
+
+    e, x, y, z, lattice, patch = grid_stack(
+        n_yz=n_yz, a=a, contact_slices=contact_slices,
+        oxide_slices=oxide_slices, ti_slices=ti_slices,
+        defect_fraction=defect_fraction, seed=seed,
+    )
+    if vacancy_concentration:
+        e = make_substoichiometric(e, vacancy_concentration, ReferenceRNG(seed + 1))
+
+    x0, x1 = 0.0, (2 * contact_slices + oxide_slices + ti_slices - 1) * a
+    cL = contact_slices * a
+    ox_end = (contact_slices + oxide_slices) * a
+    layers = [
+        Layer("contact", 0.0, 0.0, 0.0, 0.76, x0 - 1, cL - a / 4),
+        Layer("oxide", 3.93, 0.0, 1.09, 0.76, cL - a / 4, ox_end - a / 4),
+        Layer("interface", 1.66, 0.0, 1.09, 0.76, ox_end - a / 4, ox_end + ti_slices * a - a / 4),
+        # end past x1 + a/2: the last slice's (null) center slots sit there
+        Layer("contact", 1.73, 0.0, 0.0, 2.8, ox_end + ti_slices * a - a / 4, x1 + a),
+    ]
+    p = KMCParameters(
+        lattice=list(lattice),
+        nn_dist=3.5,
+        freq=freq,
+        sigma=3.5e-10,
+        epsilon=23.0,
+        metals=patch["metals"],
+        num_atoms_first_layer=patch["num_atoms_first_layer"],
+        num_layers_contact=patch["num_layers_contact"],
+        num_atoms_contact=patch["num_atoms_contact"],
+        layers=layers,
+        max_num_neighbors=52,
+        cutoff_radius=20.0,
+        solve_potential=True,
+        perturb_structure=True,
+        initial_vacancy_concentration=vacancy_concentration,
+    )
+    lat = build_lattice(e, x, y, z, p, cache_dir=cache_dir)
+    mask_null_slots(lat)
+    return p, lat
+
+
 def sort_crossbar(
     element: np.ndarray,
     x: np.ndarray,

@@ -44,6 +44,11 @@ from akmc_tpu.solvers.banded import (
     build_banded_k,
     solve_potential_boundary_banded,
 )
+from akmc_tpu.solvers.dia import (
+    DiaK,
+    build_dia_k,
+    solve_potential_boundary_dia,
+)
 from akmc_tpu.solvers.heat import (
     build_local_heat,
     update_temperature_global,
@@ -104,6 +109,12 @@ class VCMModel:
     vmax: Optional[int] = None      # static cap on vacancy count (tunnel block)
     ne_max: int = 2048              # energy-integration steps cap (WKB)
     use_banded_k: bool = True       # banded-MXU K operator when band is narrow
+    use_dia_k: bool = True          # gather-free DIA K operator when the
+                                    # structure's offset set is small
+    act_pad: int = 256              # event-table row padding multiple (set to
+                                    # a multiple of the mesh size for even
+                                    # sharding; pad rows are zero-rate, so the
+                                    # event sequence is identical regardless)
 
     tables: StaticTables = field(init=False)
 
@@ -154,7 +165,7 @@ class VCMModel:
             [int(ELEM.DEFECT), int(ELEM.O), int(ELEM.VACANCY), int(ELEM.OXYGEN_DEFECT)],
         )
         act = np.nonzero(active_np)[0].astype(np.int32)
-        na_pad = _round_up(len(act) + 1, 256)   # >= 1 all-zero pad row
+        na_pad = _round_up(len(act) + 1, self.act_pad)   # >= 1 all-zero pad row
         act_idx_np = np.full(na_pad, -1, np.int32)
         act_idx_np[: len(act)] = act
         abs2act_np = np.full(lat.N, na_pad - 1, np.int32)
@@ -194,9 +205,18 @@ class VCMModel:
             act_layer=jnp.asarray(act_layer_np),
         )
 
+        self.dia: Optional[DiaK] = None
+        self.dia_meta = None
         self.banded: Optional[BandedK] = None
         self.band_meta: Optional[BandMeta] = None
-        if self.use_banded_k:
+        if self.use_dia_k:
+            built = build_dia_k(
+                pos_np, lat.k_neigh_idx, is_metal_np,
+                p.num_atoms_first_layer, p.high_G, p.low_G,
+            )
+            if built is not None:
+                self.dia, self.dia_meta = built
+        if self.dia is None and self.use_banded_k:
             built = build_banded_k(
                 pos_np, lat.k_neigh_idx, is_metal_np, lat.element0,
                 p.num_atoms_first_layer, p.high_G, p.low_G,
@@ -205,21 +225,45 @@ class VCMModel:
                 self.banded, self.band_meta = built
 
         self._fields_jit = jax.jit(self._fields)
-        self._fields_banded_jit = jax.jit(self._fields_banded)
         self._events_jit = jax.jit(self._events)
         self._step_jit = jax.jit(self._step_fused)
-        self._step_banded_jit = jax.jit(self._step_fused_banded)
         self._cb_jit = jax.jit(self._cb)
         self._power_jit = None          # built lazily (full-physics mode)
         self._step_full_jit = None      # fused full-physics superstep
         self._multi_jits = {}
         self._current_tables = None
         self._local_heat = None
+        self.mesh = None                # set by parallel.mesh.shard_model
 
     # ------------------------------------------------------------------
-    def _fields(self, t: StaticTables, element, charge, potential_boundary_prev, T_bg, Vd):
+    def _solve_boundary(self, kop, t, element, charge, pb_prev, Vd):
+        """K-system solve through whichever operator the structure supports:
+        DIA (gather-free offset diagonals, grid-native structures), banded
+        MXU blocks (narrow-band disordered structures like the 5 nm device),
+        or the matrix-free ELL gather fallback. The operator object is a jit
+        ARGUMENT (pytree), so dispatch here is trace-time static."""
         p = self.params
-        # every vmax-capped compaction (charge update, banded cvac correction,
+        if isinstance(kop, DiaK):
+            return solve_potential_boundary_dia(
+                kop, self.dia_meta, element, charge, pb_prev, Vd,
+                p.high_G, p.low_G, p.num_atoms_first_layer, p.nn_dist,
+                jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), self.vmax,
+            )
+        if isinstance(kop, BandedK):
+            return solve_potential_boundary_banded(
+                kop, self.band_meta, element, charge, pb_prev, Vd,
+                p.high_G, p.low_G, p.num_atoms_first_layer, p.nn_dist,
+                jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), self.vmax,
+            )
+        return solve_potential_boundary(
+            element, charge, pb_prev, t.k_neigh_idx, t.metal_edge, Vd,
+            p.high_G, p.low_G, p.num_atoms_first_layer,
+        )
+
+    def _fields(self, t: StaticTables, kop, element, charge,
+                potential_boundary_prev, T_bg, Vd):
+        p = self.params
+        # every vmax-capped compaction (charge update, cvac correction,
         # current-solver tunnel block) silently truncates via
         # jnp.nonzero(size=vmax); vacancy generation grows the population, so
         # detect overflow here and let the host grow vmax + re-trace (the
@@ -230,70 +274,14 @@ class VCMModel:
             element, charge, t.neigh_idx, t.any_metal_nbr, self.vmax
         )
 
-        pot_boundary, cg = solve_potential_boundary(
-            element,
-            charge,
-            potential_boundary_prev,
-            t.k_neigh_idx,
-            t.metal_edge,
-            Vd,
-            p.high_G,
-            p.low_G,
-            p.num_atoms_first_layer,
+        pot_boundary, cg = self._solve_boundary(
+            kop, t, element, charge, potential_boundary_prev, Vd
         )
 
         pot_pair, q_overflow = pairwise_potential(
             t.pos, charge, p.cutoff_radius, p.sigma, p.k, qmax=self.qmax
         )
         pot_sum = pot_pair + pot_boundary   # sum_AB_into_A (psg.cu:1130-1151)
-
-        P, etype = build_event_table(
-            element,
-            charge,
-            pot_sum,
-            T_bg,
-            t.act_neigh,
-            t.act_self2,
-            t.act_layer,
-            t.E_gen,
-            t.E_rec,
-            t.E_Vdiff,
-            t.E_Odiff,
-            p.freq,
-            p.sigma,
-            p.k,
-            rows=t.act_idx,
-        )
-        return FieldsResult(
-            charge=charge,
-            potential_boundary=pot_boundary,
-            potential_sum=pot_sum,
-            P=P,
-            etype=etype,
-            cg_iterations=cg.iterations,
-            q_overflow=q_overflow,
-            v_overflow=v_overflow,
-        )
-
-    def _fields_banded(self, t: StaticTables, bk: BandedK, element, charge,
-                       potential_boundary_prev, T_bg, Vd):
-        """_fields with the banded-MXU K solve (solvers/banded.py)."""
-        p = self.params
-        v_overflow = jnp.sum(element == int(ELEM.VACANCY)) > self.vmax
-        charge = update_charge_compact(
-            element, charge, t.neigh_idx, t.any_metal_nbr, self.vmax
-        )
-
-        pot_boundary, cg = solve_potential_boundary_banded(
-            bk, self.band_meta, element, charge, potential_boundary_prev, Vd,
-            p.high_G, p.low_G, p.num_atoms_first_layer, p.nn_dist,
-            jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), self.vmax,
-        )
-
-        pot_pair, q_overflow = pairwise_potential(
-            t.pos, charge, p.cutoff_radius, p.sigma, p.k, qmax=self.qmax
-        )
-        pot_sum = pot_pair + pot_boundary
 
         P, etype = build_event_table(
             element, charge, pot_sum, T_bg,
@@ -326,69 +314,77 @@ class VCMModel:
             fr.v_overflow.astype(jnp.float64),
         ])
 
-    def _step_fused(self, t: StaticTables, element, charge, pb_prev, T_bg, Vd, rand_buf):
+    def _loop_arrays(self, t: StaticTables, P, etype):
+        """Event-loop inputs, replicated under a mesh: the residence-time
+        loop is serial and replicated-redundant (the reference equivalent:
+        every rank applies the Bcast'd event, kmc_events.cu:494-504), so the
+        rate table is all-gathered ONCE here instead of per loop iteration
+        (GSPMD would otherwise gather the full table at every dynamic row
+        access inside the while body — measured in round 2's collective
+        inspection)."""
+        if self.mesh is None:
+            return P, etype, t.act_neigh
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+
+        def c(a):
+            return jax.lax.with_sharding_constraint(a, rep)
+
+        return c(P), c(etype), c(t.act_neigh)
+
+    def _step_fused(self, t: StaticTables, kop, element, charge, pb_prev,
+                    T_bg, Vd, rand_buf):
         """fields + event loop in ONE executable (one dispatch per superstep)."""
-        fr = self._fields(t, element, charge, pb_prev, T_bg, Vd)
+        fr = self._fields(t, kop, element, charge, pb_prev, T_bg, Vd)
+        P, etype, neigh = self._loop_arrays(t, fr.P, fr.etype)
         res = run_event_loop(
-            element, fr.charge, fr.P, fr.etype, t.act_neigh, rand_buf,
+            element, fr.charge, P, etype, neigh, rand_buf,
             self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
         )
         return fr, res, self._pack_diag(fr, res)
 
-    def _step_fused_banded(self, t: StaticTables, bk: BandedK, element, charge,
-                           pb_prev, T_bg, Vd, rand_buf):
-        fr = self._fields_banded(t, bk, element, charge, pb_prev, T_bg, Vd)
-        res = run_event_loop(
-            element, fr.charge, fr.P, fr.etype, t.act_neigh, rand_buf,
-            self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
-        )
-        return fr, res, self._pack_diag(fr, res)
+    @property
+    def kop(self):
+        """The active K operator (DIA > banded > ELL fallback)."""
+        return self.dia if self.dia is not None else self.banded
 
     def _invalidate_jits(self):
-        """Rebuild EVERY executable that baked qmax/vmax in at trace time.
-        Must cover the batched (`_multi_jits`) and native-RNG
-        (`_step_native_jit`) caches too: they close over the caps the same
-        way, so a stale entry would re-detect overflow forever (round-1
-        advisor finding)."""
+        """Rebuild EVERY executable that baked qmax/vmax (or, after
+        shard_model, the mesh) in at trace time. Must cover the batched
+        (`_multi_jits`), native-RNG, events-only and module-timed caches too:
+        a stale entry would re-detect overflow forever (round-1 advisor
+        finding) or keep pre-mesh shardings."""
         self._fields_jit = jax.jit(self._fields)
-        self._fields_banded_jit = jax.jit(self._fields_banded)
         self._step_jit = jax.jit(self._step_fused)
-        self._step_banded_jit = jax.jit(self._step_fused_banded)
+        self._events_jit = jax.jit(self._events)
         self._multi_jits = {}
-        if hasattr(self, "_step_native_jit"):
-            del self._step_native_jit
+        for attr in ("_step_native_jit", "_events_only_jit", "_timed_jits"):
+            if hasattr(self, attr):
+                delattr(self, attr)
         self._power_jit = None       # build_power_system bakes vmax in too
         self._step_full_jit = None
 
     def _run_step(self, state: DeviceState, Vd, rand_buf):
-        if self.banded is not None:
-            return self._step_banded_jit(
-                self.tables, self.banded, state.element, state.charge,
-                state.potential_boundary, state.T_bg, Vd, rand_buf,
-            )
         return self._step_jit(
-            self.tables, state.element, state.charge,
+            self.tables, self.kop, state.element, state.charge,
             state.potential_boundary, state.T_bg, Vd, rand_buf,
         )
 
     def _run_fields(self, state: DeviceState, Vd):
-        if self.banded is not None:
-            return self._fields_banded_jit(
-                self.tables, self.banded, state.element, state.charge,
-                state.potential_boundary, state.T_bg, Vd,
-            )
         return self._fields_jit(
-            self.tables, state.element, state.charge,
+            self.tables, self.kop, state.element, state.charge,
             state.potential_boundary, state.T_bg, Vd,
         )
 
     def _events(self, t: StaticTables, element, charge, P, etype, rand_buf, event_time_in):
+        P, etype, neigh = self._loop_arrays(t, P, etype)
         return run_event_loop(
             element,
             charge,
             P,
             etype,
-            t.act_neigh,
+            neigh,
             rand_buf,
             self.params.freq,
             event_time_in=event_time_in,
@@ -494,12 +490,10 @@ class VCMModel:
         def body(carry, _):
             element, charge, pb, pc, cursor = carry
             window = lax.dynamic_slice(rand_buf, (cursor,), (chunk,))
-            if bk is not None:
-                fr = self._fields_banded(t, bk, element, charge, pb, T_bg, Vd)
-            else:
-                fr = self._fields(t, element, charge, pb, T_bg, Vd)
+            fr = self._fields(t, bk, element, charge, pb, T_bg, Vd)
+            P, etype, neigh = self._loop_arrays(t, fr.P, fr.etype)
             res = run_event_loop(
-                element, fr.charge, fr.P, fr.etype, t.act_neigh, window,
+                element, fr.charge, P, etype, neigh, window,
                 self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
             )
             carry = (
@@ -543,7 +537,7 @@ class VCMModel:
             )
         rand_buf = jnp.asarray(stream.peek(k * rand_chunk))
         element, charge, pb, pc, diag = self._multi_jits[key](
-            self.tables, self.banded, state.element, state.charge,
+            self.tables, self.kop, state.element, state.charge,
             state.potential_boundary, state.T_bg, Vd, rand_buf, k, rand_chunk,
         )
         d = np.asarray(diag)                     # (k, 7) one batched pull
@@ -596,19 +590,8 @@ class VCMModel:
                     v_ovf,
                 )
 
-            def _phase_boundary(t, bk, element, charge, pb_prev, Vd):
-                if bk is not None:
-                    pot, cg = solve_potential_boundary_banded(
-                        bk, self.band_meta, element, charge, pb_prev, Vd,
-                        p.high_G, p.low_G, p.num_atoms_first_layer, p.nn_dist,
-                        jnp.asarray(np.asarray(p.lattice)), bool(p.pbc),
-                        self.vmax,
-                    )
-                else:
-                    pot, cg = solve_potential_boundary(
-                        element, charge, pb_prev, t.k_neigh_idx, t.metal_edge,
-                        Vd, p.high_G, p.low_G, p.num_atoms_first_layer,
-                    )
+            def _phase_boundary(t, kop, element, charge, pb_prev, Vd):
+                pot, cg = self._solve_boundary(kop, t, element, charge, pb_prev, Vd)
                 return pot, cg.iterations
 
             def _phase_pair_rates(t, element, charge, pot_b, T_bg):
@@ -645,7 +628,7 @@ class VCMModel:
             del self._timed_jits
             return self.superstep_timed(state, Vd, stream, rand_chunk)
         (pot_b, cg_iters), dt_boundary = timed(
-            self._timed_jits["boundary"], t, self.banded, state.element,
+            self._timed_jits["boundary"], t, self.kop, state.element,
             charge, state.potential_boundary, Vd,
         )
         (pot_sum, P, etype, q_ovf), dt_pair = timed(
@@ -700,13 +683,11 @@ class VCMModel:
         buffers, not reference-stream parity). Returns (state, stats, key')."""
         if not hasattr(self, "_step_native_jit"):
             def _step_native(t, bk, element, charge, pb_prev, T_bg, Vd, key):
-                if bk is not None:
-                    fr = self._fields_banded(t, bk, element, charge, pb_prev, T_bg, Vd)
-                else:
-                    fr = self._fields(t, element, charge, pb_prev, T_bg, Vd)
+                fr = self._fields(t, bk, element, charge, pb_prev, T_bg, Vd)
                 key, sub = jax.random.split(key)
+                P, etype, neigh = self._loop_arrays(t, fr.P, fr.etype)
                 res = run_event_loop_native(
-                    element, fr.charge, fr.P, fr.etype, t.act_neigh, sub,
+                    element, fr.charge, P, etype, neigh, sub,
                     self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
                 )
                 diag = self._pack_diag(fr, res)
@@ -715,7 +696,7 @@ class VCMModel:
             self._step_native_jit = jax.jit(_step_native, static_argnums=())
         key_in = key
         fr, res, diag, key = self._step_native_jit(
-            self.tables, self.banded, state.element, state.charge,
+            self.tables, self.kop, state.element, state.charge,
             state.potential_boundary, state.T_bg, Vd, key,
         )
         d = np.asarray(diag)
@@ -877,8 +858,9 @@ class VCMModel:
                     t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
                     p.freq, p.sigma, p.k, rows=t.act_idx,
                 )
+                P, etype, neigh = self._loop_arrays(t, P, etype)
                 res = run_event_loop(
-                    element, charge, P, etype, t.act_neigh, rand_buf,
+                    element, charge, P, etype, neigh, rand_buf,
                     p.freq, act_idx=t.act_idx, abs2act=t.abs2act,
                 )
                 return res, etype
@@ -939,18 +921,16 @@ class VCMModel:
     def _step_full(self, t: StaticTables, bk, ct, element, charge, pb_prev,
                    cb_edge, temperature, T_bg, m_prev, Vd, rand_buf):
         p = self.params
-        if bk is not None:
-            fr = self._fields_banded(t, bk, element, charge, pb_prev, T_bg, Vd)
-        else:
-            fr = self._fields(t, element, charge, pb_prev, T_bg, Vd)
+        fr = self._fields(t, bk, element, charge, pb_prev, T_bg, Vd)
 
         # current + dissipated power on THIS superstep's charge
         I_macro, site_power, m_new, pow_iters, pw_ovf = self._power(
             ct, element, fr.charge, cb_edge, m_prev, Vd
         )
 
+        P_rep, etype_rep, neigh_rep = self._loop_arrays(t, fr.P, fr.etype)
         res = run_event_loop(
-            element, fr.charge, fr.P, fr.etype, t.act_neigh, rand_buf,
+            element, fr.charge, P_rep, etype_rep, neigh_rep, rand_buf,
             p.freq, act_idx=t.act_idx, abs2act=t.abs2act,
         )
 
@@ -987,7 +967,7 @@ class VCMModel:
         rand_buf = jnp.asarray(stream.peek(rand_chunk))
         ct = self.current_tables
         fr, res, site_power, m_new, T_new, temp_new, diag = self._step_full_jit(
-            self.tables, self.banded, ct, state.element, state.charge,
+            self.tables, self.kop, ct, state.element, state.charge,
             state.potential_boundary, state.cb_edge, state.temperature,
             state.T_bg, m_prev, Vd, rand_buf,
         )
@@ -1069,7 +1049,7 @@ class VCMModel:
         rand_buf = jnp.asarray(stream.peek(k * rand_chunk))
         ct = self.current_tables
         element, charge, pb, pc, temp, T_bg, m, diag, power = self._multi_jits[key](
-            self.tables, self.banded, ct, state.element, state.charge,
+            self.tables, self.kop, ct, state.element, state.charge,
             state.potential_boundary, state.cb_edge, state.temperature,
             state.T_bg, m_prev, Vd, rand_buf,
         )

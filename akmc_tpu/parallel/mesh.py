@@ -65,7 +65,11 @@ _ROW_SHARDED = (
 def shard_model(model, mesh: Mesh):
     """Place a VCMModel's static tables row-sharded on the mesh (in place).
 
-    Requires N % mesh size == 0 (pad the lattice if needed).
+    Requires N % mesh size == 0 (pad the lattice if needed) and, for even
+    event-table sharding, ``VCMModel(act_pad=k*mesh_size)``. The banded-K
+    block stack is sharded over its block axis when divisible (each device
+    owns a contiguous row range of the band — the same 1-D row decomposition
+    the reference gives Distributed_matrix, dist_objects.h:67-68).
     """
     rs = row_sharding(mesh)
     rep = replicated(mesh)
@@ -78,6 +82,36 @@ def shard_model(model, mesh: Mesh):
             if n not in _ROW_SHARDED
         },
     )
+    if getattr(model, "banded", None) is not None:
+        bk = model.banded
+        nb = bk.blocks.shape[0]
+        blocks_sh = rs if nb % mesh.size == 0 else rep
+        model.banded = bk._replace(
+            blocks=jax.device_put(bk.blocks, blocks_sh),
+            **{
+                n: jax.device_put(getattr(bk, n), rep)
+                for n in bk._fields
+                if n != "blocks"
+            },
+        )
+    if getattr(model, "dia", None) is not None:
+        dk = model.dia
+        model.dia = dk._replace(
+            diags=jax.device_put(
+                dk.diags, NamedSharding(mesh, P(None, SITE_AXIS))
+            ),
+            **{
+                n: jax.device_put(getattr(dk, n), rep)
+                for n in dk._fields
+                if n != "diags"
+            },
+        )
+    # the event while-loop is serial and replicated-redundant by design
+    # (reference: every rank applies the Bcast event, kmc_events.cu:494-504);
+    # the model re-traces with explicit one-shot replication of the loop
+    # arrays so GSPMD does NOT all-gather the rate table per iteration
+    model.mesh = mesh
+    model._invalidate_jits()
     return model
 
 

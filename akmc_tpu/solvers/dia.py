@@ -1,0 +1,188 @@
+"""DIA (diagonal-offset) K operator: the gather-free TPU SpMV for
+grid-native structures.
+
+Motivation (crossbar scale): the banded-dense operator (solvers/banded.py)
+stores T+2B values per row — at 40 nm-crossbar cross-sections the lexsort
+bandwidth B is ~1e4-1e5 and the band no longer fits; the padded-ELL gather
+path serializes on the TPU scalar unit (~70M elem/s) and its >50k-site
+executables hit the remote-compile wall (PERF_NOTES round 1). But when the
+structure lives on a REGULAR slot enumeration (models/crossbar.py::
+grid_stack), the index offset j−i of every edge takes values in a SMALL
+static set {o_1..o_D} (D ≈ 40-90 for two interleaved cubic sublattices).
+The matvec then decomposes by offset:
+
+    (K x)_i = diag_i x_i − Σ_d  w_d[i] · x[i + o_d]
+
+i.e. D shift-multiply-adds over contiguous slices — pure VPU work, ZERO
+gathers, O(D) HLO ops regardless of N, memory D·N·8 bytes. This is the DIA
+sparse format, which maps to TPUs the way stencils map to vector hardware.
+
+Same decomposition as the banded solver (reference semantics preserved —
+background_potential_gpu_sparse, potential_solver_gpu.cu:846-1128): the
+static part (low_G adjacency + metal-metal high_G upgrades) lives in the
+offset diagonals; the dynamic conductive-vacancy correction is applied on a
+compacted ≤VMAX vacancy list per CG iteration.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from akmc_tpu.lattice import ELEM
+from akmc_tpu.solvers.cg import CGResult, jacobi_cg
+
+
+class DiaK(NamedTuple):
+    """Static pieces of the DIA-format K operator (site order = file order;
+    no solver-frame permutation needed — the generator emits slot order)."""
+
+    diags: jax.Array         # (D, N) static edge values; diags[d, i] = G(i, i+o_d)
+    deg_static: jax.Array    # (N,) static diagonal (all-neighbor G sums)
+    lsum: jax.Array          # (N,) static left-contact row sums
+    rsum: jax.Array          # (N,) static right-contact row sums
+    pos: jax.Array           # (N, 3)
+    active_row: jax.Array    # (N,) bool: row has any edge (null slots -> False)
+
+
+class DiaMeta(NamedTuple):
+    offsets: Tuple[int, ...]     # static offsets (python ints, baked into jit)
+
+
+def build_dia_k(
+    pos: np.ndarray,
+    k_neigh_idx: np.ndarray,
+    is_metal: np.ndarray,
+    num_atoms_first_layer: int,
+    high_G: float,
+    low_G: float,
+    max_diags: int = 160,
+) -> Optional[Tuple[DiaK, DiaMeta]]:
+    """Host-side construction. Returns None when the structure's offset set
+    is too large for DIA to pay off (disordered structures like the shipped
+    5 nm device: ~4000 distinct offsets — use the banded operator there)."""
+    n = pos.shape[0]
+    valid = k_neigh_idx >= 0
+    if not valid.any():
+        return None
+    jc = np.clip(k_neigh_idx, 0, None)
+    rows = np.repeat(np.arange(n), k_neigh_idx.shape[1]).reshape(n, -1)
+    offs = np.where(valid, jc - rows, 0)
+    uniq = np.unique(offs[valid])
+    if len(uniq) > max_diags:
+        return None
+
+    dG = high_G - low_G
+    mm = is_metal[:, None] & is_metal[jc] & valid
+    vals = np.where(valid, np.where(mm, high_G, low_G), 0.0)
+
+    off_index = {int(o): d for d, o in enumerate(uniq)}
+    diags = np.zeros((len(uniq), n))
+    r = rows[valid]
+    d_idx = np.array([off_index[int(o)] for o in offs[valid]])
+    # at most one edge per (row, offset) on a slot lattice; use add for safety
+    np.add.at(diags, (d_idx, r), vals[valid])
+
+    deg_static = vals.sum(1)
+    L = R = num_atoms_first_layer
+    in_left = valid & (jc < L)
+    in_right = valid & (jc >= n - R)
+    lsum = np.where(in_left, vals, 0.0).sum(1)
+    rsum = np.where(in_right, vals, 0.0).sum(1)
+
+    dia = DiaK(
+        diags=jnp.asarray(diags),
+        deg_static=jnp.asarray(deg_static),
+        lsum=jnp.asarray(lsum),
+        rsum=jnp.asarray(rsum),
+        pos=jnp.asarray(pos),
+        active_row=jnp.asarray(valid.any(axis=1)),
+    )
+    return dia, DiaMeta(offsets=tuple(int(o) for o in uniq))
+
+
+def dia_matvec(dia: DiaK, meta: DiaMeta, x: jnp.ndarray) -> jnp.ndarray:
+    """y = W @ x via D static shift-multiply-adds (no gathers)."""
+    n = x.shape[0]
+    maxo = max(abs(o) for o in meta.offsets)
+    xp = jnp.zeros(n + 2 * maxo, x.dtype).at[maxo : maxo + n].set(x)
+    y = jnp.zeros_like(x)
+    for d, o in enumerate(meta.offsets):
+        y = y + dia.diags[d] * jax.lax.dynamic_slice(xp, (maxo + o,), (n,))
+    return y
+
+
+def _cvac_pieces(pos, cvac, nn_dist, lattice, pbc, vmax):
+    """Compacted conductive-vacancy adjacency (same rule as the K sparsity:
+    pairs within nn_dist, PBC-aware)."""
+    idx = jnp.nonzero(cvac, size=vmax, fill_value=-1)[0].astype(jnp.int32)
+    vv = idx >= 0
+    p = pos[idx.clip(0)]
+    d = p[:, None, :] - p[None, :, :]
+    if pbc:
+        dy = d[..., 1] / lattice[1]
+        dy = (dy - jnp.round(dy)) * lattice[1]
+        dz = d[..., 2] / lattice[2]
+        dz = (dz - jnp.round(dz)) * lattice[2]
+        d2 = d[..., 0] ** 2 + dy**2 + dz**2
+    else:
+        d2 = jnp.sum(d * d, -1)
+    same = idx[:, None] == idx[None, :]
+    W = jnp.where(
+        (d2 < nn_dist * nn_dist) & ~same & vv[:, None] & vv[None, :], 1.0, 0.0
+    )
+    return idx, vv, W, jnp.sum(W, axis=1)
+
+
+def solve_potential_boundary_dia(
+    dia: DiaK,
+    meta: DiaMeta,
+    element: jnp.ndarray,
+    charge: jnp.ndarray,
+    potential_boundary_prev: jnp.ndarray,
+    Vd,
+    high_G: float,
+    low_G: float,
+    num_atoms_first_layer: int,
+    nn_dist: float,
+    lattice: jnp.ndarray,
+    pbc: bool,
+    vmax: int,
+    rtol_coeff: float = 1e-14,
+    max_iterations: int = 10000,
+) -> Tuple[jnp.ndarray, CGResult]:
+    """Drop-in replacement for solve_potential_boundary(_banded) on DIA
+    structures. Same matrix entries / rhs / CG stopping rule."""
+    n = element.shape[0]
+    L = R = num_atoms_first_layer
+    n_int = n - L - R
+    dG = high_G - low_G
+
+    cvac = (element == int(ELEM.VACANCY)) & (charge == 0)
+    vidx, vv, Wv, vdeg = _cvac_pieces(dia.pos, cvac, nn_dist, lattice, pbc, vmax)
+
+    diag = dia.deg_static + dG * (
+        jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, vdeg, 0.0))
+    )
+
+    idxs = jnp.arange(n)
+    is_int = (idxs >= L) & (idxs < n - R) & dia.active_row
+
+    rhs = (dia.lsum * (-Vd / 2.0) + dia.rsum * (Vd / 2.0)) * is_int
+
+    def A(x):
+        xz = jnp.where(is_int, x, 0.0)
+        y = diag * xz - dia_matvec(dia, meta, xz)
+        xv = jnp.where(vv, xz[vidx.clip(0)], 0.0)
+        corr = dG * (Wv @ xv)
+        y = y - jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, corr, 0.0))
+        return jnp.where(is_int, y, x)
+
+    x0 = jnp.where(is_int, potential_boundary_prev, 0.0)
+    inv_diag = jnp.where(is_int, 1.0 / jnp.where(is_int, diag, 1.0), 1.0)
+
+    res = jacobi_cg(A, rhs, x0, inv_diag, rtol_coeff * n_int, max_iterations)
+    return jnp.where(is_int, res.x, 0.0), res

@@ -104,9 +104,11 @@ def solve_potential_boundary(
         return diag * x - jnp.sum(G_int * x[nbr_int], axis=1)
 
     x0 = potential_boundary_prev[L : n - R]
-    res = jacobi_cg(
-        A, rhs, x0, 1.0 / diag, rtol_coeff * n_int, max_iterations
-    )
+    # zero-degree interface rows (e.g. a grid structure's null placeholder
+    # slots) have diag 0: 1/diag = inf would NaN the preconditioned residual
+    # and kill CG on the FIRST iteration; such rows carry rhs 0 and stay 0
+    inv_diag = jnp.where(diag > 0.0, 1.0 / jnp.where(diag > 0.0, diag, 1.0), 1.0)
+    res = jacobi_cg(A, rhs, x0, inv_diag, rtol_coeff * n_int, max_iterations)
     full = jnp.zeros(n, res.x.dtype).at[L : n - R].set(res.x)
     return full, res
 

@@ -1,0 +1,94 @@
+"""DIA (offset-diagonal) K operator on grid-native crossbar structures:
+exactness vs explicit assembly, solver equivalence vs the ELL path, and
+end-to-end superstep equivalence."""
+
+import numpy as np
+import pytest
+
+from akmc_tpu.lattice import ELEM
+from akmc_tpu.models.crossbar import build_grid_crossbar
+from akmc_tpu.models.vcm import VCMModel
+from akmc_tpu.rng import BufferedStream, ReferenceRNG
+from akmc_tpu.solvers.dia import build_dia_k, dia_matvec
+from akmc_tpu.state import make_device_state
+
+
+@pytest.fixture(scope="module")
+def grid():
+    p, lat = build_grid_crossbar(
+        n_yz=6, contact_slices=2, oxide_slices=6, ti_slices=2,
+        defect_fraction=0.3, vacancy_concentration=0.1, seed=3,
+    )
+    return p, lat
+
+
+def test_grid_structure_is_dia(grid):
+    from akmc_tpu.lattice import metal_mask
+
+    p, lat = grid
+    is_metal = metal_mask(lat.element0, p.metals)
+    built = build_dia_k(
+        np.stack([lat.x, lat.y, lat.z], 1), lat.k_neigh_idx, is_metal,
+        p.num_atoms_first_layer, p.high_G, p.low_G,
+    )
+    assert built is not None, "grid crossbar not DIA-representable"
+    dia, meta = built
+    assert len(meta.offsets) <= 160
+    # null slots carry no edges
+    null = lat.element0 == int(ELEM.NULL_ELEMENT)
+    assert null.any()
+    assert not np.asarray(dia.active_row)[null].any()
+
+    # matvec == explicit static-part assembly
+    n = lat.N
+    rng = np.random.RandomState(0)
+    x = rng.randn(n)
+    valid = lat.k_neigh_idx >= 0
+    jc = np.clip(lat.k_neigh_idx, 0, None)
+    mm = is_metal[:, None] & is_metal[jc] & valid
+    w = np.where(valid, np.where(mm, p.high_G, p.low_G), 0.0)
+    y_ref = (w * x[jc]).sum(1)
+    y = np.asarray(dia_matvec(dia, meta, x))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-13, atol=1e-18)
+
+
+def test_dia_solver_matches_ell(grid):
+    p, lat = grid
+    m_dia = VCMModel(p, lat)
+    assert m_dia.dia is not None, "VCMModel did not select the DIA operator"
+    m_ell = VCMModel(p, lat, use_dia_k=False, use_banded_k=False)
+    assert m_ell.dia is None and m_ell.banded is None
+
+    state = make_device_state(lat, p.background_temp)
+    fr_d = m_dia._run_fields(state, 2.0)
+    fr_e = m_ell._run_fields(state, 2.0)
+    np.testing.assert_array_equal(np.asarray(fr_d.charge), np.asarray(fr_e.charge))
+    # same matrix/rhs/CG semantics; fp association differs below tolerance
+    np.testing.assert_allclose(
+        np.asarray(fr_d.potential_boundary),
+        np.asarray(fr_e.potential_boundary),
+        rtol=1e-6, atol=1e-9,
+    )
+
+
+def test_dia_superstep_matches_ell(grid):
+    p, lat = grid
+
+    def run(**kw):
+        model = VCMModel(p, lat, **kw)
+        state = make_device_state(lat, p.background_temp)
+        stream = BufferedStream(ReferenceRNG(1))
+        ev = []
+        for _ in range(3):
+            state, stats = model.superstep(state, 2.0, stream)
+            ev.append(stats["n_events"])
+        return state, ev
+
+    s_d, ev_d = run()
+    s_e, ev_e = run(use_dia_k=False, use_banded_k=False)
+    assert ev_d == ev_e
+    np.testing.assert_array_equal(np.asarray(s_d.element), np.asarray(s_e.element))
+    assert float(s_d.kmc_time) == pytest.approx(float(s_e.kmc_time), rel=1e-9)
+    # null slots never mutate
+    null0 = lat.element0 == int(ELEM.NULL_ELEMENT)
+    assert (np.asarray(s_d.element)[null0] == int(ELEM.NULL_ELEMENT)).all()

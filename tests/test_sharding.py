@@ -84,6 +84,46 @@ def test_sharded_superstep_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_full_physics_matches_single_device():
+    """The fused full-physics superstep (charge -> potentials -> current/
+    power -> events -> heat) must also run sharded: row-sharded pair tables,
+    replicated atom-level tunnel tables (their VMAX blocks are small), psum'd
+    CG dots in BOTH solves."""
+    p, lat = _padded_toy(8)
+    p = p.replace(
+        solve_current=True, solve_heating_global=True,
+        dissipation_constant=1e-13, t_ox=5e-9,
+        A=(12 * 2.0e-10) ** 2, c_p=1.92,
+    )
+    Vd = 2.0
+
+    def run(n_dev):
+        model = VCMModel(p, lat, vmax=64, ne_max=256)
+        state = make_device_state(lat, p.background_temp)
+        stream = BufferedStream(ReferenceRNG(1))
+        if n_dev > 1:
+            mesh = make_mesh(n_dev)
+            shard_model(model, mesh)
+            state = replicate_state(state, mesh)
+        state = model.update_cb_edge(state, Vd)
+        m = None
+        stats = None
+        for _ in range(2):
+            state, stats, m = model.superstep_full(state, Vd, stream, m_prev=m)
+        return state, stats
+
+    s1, st1 = run(1)
+    s8, st8 = run(8)
+    assert st8["n_events"] == st1["n_events"]
+    np.testing.assert_array_equal(np.asarray(s1.element), np.asarray(s8.element))
+    np.testing.assert_allclose(st8["I_macro"], st1["I_macro"], rtol=1e-9)
+    np.testing.assert_allclose(st8["T_bg"], st1["T_bg"], rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s8.power), np.asarray(s1.power), rtol=1e-8, atol=1e-30
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_batched_dispatch_matches_single_device():
     """The production mode (superstep_multi, k steps per dispatch) must also
     run correctly over the 8-device 'sites' mesh — lax.scan over the sharded

@@ -1,0 +1,136 @@
+"""Multi-device validation at the REAL device scale (N = 37,650): the
+sharded superstep on the 5 nm reference structure must reproduce the
+single-device golden event sequence, and the full-physics superstep must be
+shardable too. (Round-1 verdict: multi-chip validation was toy-scale only.)
+
+Gated behind AKMC_GOLDEN=1 like the golden run (a 37k-site superstep on the
+1-core CPU test platform takes minutes)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from akmc_tpu.models.vcm import VCMModel
+from akmc_tpu.parallel.mesh import make_mesh, replicate_state, shard_model
+from akmc_tpu.rng import BufferedStream, ReferenceRNG
+from akmc_tpu.state import make_device_state, make_substoichiometric
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("AKMC_GOLDEN") != "1",
+    reason="37k-site sharded runs; set AKMC_GOLDEN=1",
+)
+
+
+@pytest.fixture(scope="module")
+def real_5nm(ref_5nm_dir):
+    from akmc_tpu.config import KMCParameters
+    from akmc_tpu.lattice import build_lattice, read_xyz
+
+    p = KMCParameters.from_file(os.path.join(ref_5nm_dir, "parameters.txt"))
+    e, x, y, z = read_xyz(os.path.join(ref_5nm_dir, "reordered_device_5.xyz"))
+    e = make_substoichiometric(
+        e, p.initial_vacancy_concentration, ReferenceRNG(p.rnd_seed)
+    )
+    lat = build_lattice(e, x, y, z, p, cache_dir="/root/repo/.cache")
+    return p, lat
+
+
+@pytest.mark.slow
+def test_sharded_5nm_superstep_matches_golden_sequence(real_5nm):
+    """First golden superstep on a 6-device mesh (37650 % 6 == 0): event
+    count, mutated elements/charges and the event clock must match the
+    single-device run bit-for-bit (selection is exact — only CG psum
+    reduction order may drift below solver tolerance)."""
+    p, lat = real_5nm
+    n_dev = 6
+    assert lat.N % n_dev == 0
+
+    def run(n):
+        model = VCMModel(p, lat, act_pad=256 * n if n > 1 else 256)
+        state = make_device_state(lat, p.background_temp)
+        stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
+        if n > 1:
+            mesh = make_mesh(n)
+            shard_model(model, mesh)
+            state = replicate_state(state, mesh)
+        state, stats = model.superstep(state, p.V_switch[0], stream)
+        return state, stats
+
+    s1, st1 = run(1)
+    s6, st6 = run(n_dev)
+    assert st6["n_events"] == st1["n_events"]
+    np.testing.assert_array_equal(np.asarray(s6.element), np.asarray(s1.element))
+    np.testing.assert_array_equal(np.asarray(s6.charge), np.asarray(s1.charge))
+    np.testing.assert_allclose(
+        float(s6.kmc_time), float(s1.kmc_time), rtol=1e-9
+    )
+    # the golden trajectory's first KMC time (expected_output/output1_0.txt)
+    np.testing.assert_allclose(float(s6.kmc_time), 2.91075e-14, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_sharded_collective_pattern(real_5nm):
+    """Inspect the sharded executable's HLO: CG dots must lower to
+    all-reduce; the event while-loop must NOT all-gather the full (NA, NN)
+    rate table per iteration (only O(N)-vector and sub-row collectives are
+    acceptable inside loops)."""
+    p, lat = real_5nm
+    n_dev = 6
+    model = VCMModel(p, lat, act_pad=256 * n_dev)
+    mesh = make_mesh(n_dev)
+    shard_model(model, mesh)
+    state = make_device_state(lat, p.background_temp)
+    state = replicate_state(state, mesh)
+    stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
+
+    import jax.numpy as jnp
+
+    rand_buf = jnp.asarray(stream.peek(8192))
+    args = (
+        model.tables, model.kop, state.element, state.charge,
+        state.potential_boundary, state.T_bg, p.V_switch[0], rand_buf,
+    )
+    lowered = jax.jit(model._step_fused).lower(*args)
+    hlo = lowered.compile().as_text()
+
+    assert "all-reduce" in hlo, "CG dots did not lower to all-reduce"
+
+    # carve the HLO into computations; inspect only the bodies of while ops
+    # (CG loop + event loop): NO collective with the full rate-table row
+    # count may live inside a loop body — the table is allowed to be
+    # all-gathered ONCE at event-loop entry (the reference's analogue:
+    # per-event Allgather of rank sums + Bcast, kmc_events.cu:458-499, which
+    # we hoist out of the loop entirely)
+    comps = {}
+    cur = None
+    for line in hlo.splitlines():
+        s = line.strip()
+        if s.startswith("%") and "{" in s and "(" in s:
+            cur = s.split(" ")[0].lstrip("%")
+            comps[cur] = []
+        elif (s.startswith("ENTRY") or s.startswith("HloModule")):
+            cur = None
+        elif cur is not None:
+            comps[cur].append(s)
+
+    import re as _re
+
+    body_names = set()
+    for lines in list(comps.values()) + [hlo.splitlines()]:
+        for s in lines:
+            m = _re.search(r"body=%?([\w.\-]+)", str(s))
+            if m:
+                body_names.add(m.group(1))
+    assert body_names, "no while loops found in the sharded executable"
+
+    na_pad = model.tables.act_neigh.shape[0]
+    bad = [
+        (name, s)
+        for name in body_names
+        for s in comps.get(name, [])
+        if ("all-gather" in s or "all-reduce" in s or "collective" in s)
+        and f"[{na_pad}," in s
+    ]
+    assert not bad, f"full rate table moved inside a loop body: {bad[:2]}"

@@ -1,0 +1,100 @@
+"""Crossbar-scale superstep benchmark: the reference's flagship 40 nm
+workload class (structures/40nm_crossbar/parameters.txt: potential-only,
+V=15, perturb_structure=1 — the structure files are stripped from the
+snapshot, so the grid-native generator supplies the lattice).
+
+Runs a multi-superstep potential-only bias sweep at the requested scale on
+the attached device and reports s/superstep.
+
+    python tools/bench_crossbar.py [n_yz] [n_steps]
+
+n_yz=64 -> N = 892,928 slots (incl. null placeholders; ~630k physical
+sites). The K solve uses the gather-free DIA operator (solvers/dia.py) —
+the ELL/banded formulations do not compile/fit at this scale.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    n_yz = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    cache = os.path.join(here, ".cache", "jaxcache")
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+
+    import numpy as np
+
+    from akmc_tpu.models.crossbar import build_grid_crossbar
+    from akmc_tpu.models.vcm import VCMModel
+    from akmc_tpu.rng import BufferedStream, ReferenceRNG
+    from akmc_tpu.state import make_device_state
+
+    # 40nm-deck proportions: 10 contact slices each side, oxide + Ti stack
+    t0 = time.perf_counter()
+    p, lat = build_grid_crossbar(
+        n_yz=n_yz, contact_slices=10, oxide_slices=22, ti_slices=8,
+        defect_fraction=0.1, vacancy_concentration=0.05, seed=0,
+        cache_dir=os.path.join(here, ".cache"),
+    )
+    t_build = time.perf_counter() - t0
+    print(f"[build] N={lat.N} slots in {t_build:.1f}s", file=sys.stderr)
+
+    model = VCMModel(p, lat)
+    assert model.dia is not None, "crossbar must use the DIA operator"
+    print(
+        f"[dia] {len(model.dia_meta.offsets)} offset diagonals, "
+        f"qmax={model.qmax} vmax={model.vmax}",
+        file=sys.stderr,
+    )
+    state = make_device_state(lat, p.background_temp)
+    stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
+    Vd = 15.0   # 40 nm deck bias
+
+    t0 = time.perf_counter()
+    state, stats = model.superstep(state, Vd, stream)
+    t_first = time.perf_counter() - t0
+    print(
+        f"[first superstep] {t_first:.1f}s (compile + cold CG: "
+        f"{stats['cg_iterations']} iters), events={stats['n_events']}",
+        file=sys.stderr,
+    )
+
+    times = []
+    for i in range(n_steps):
+        t0 = time.perf_counter()
+        state, stats = model.superstep(state, Vd, stream)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        assert stats["n_events"] >= 1, "rates died"
+        print(
+            f"[step {i}] {dt:.3f}s events={stats['n_events']} "
+            f"cg={stats['cg_iterations']}",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "crossbar_superstep_wall_clock",
+                "n_slots": int(lat.N),
+                "n_sites": int((np.asarray(lat.element0) != 9).sum()),
+                "value": float(np.median(times)),
+                "unit": "s",
+                "first_superstep_s": t_first,
+                "build_s": t_build,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
