@@ -97,6 +97,7 @@ class FieldsResult(NamedTuple):
     cg_iterations: jax.Array
     q_overflow: jax.Array           # charged count exceeded the static cap
     v_overflow: jax.Array           # vacancy count exceeded the static cap
+    ln_S: object = None             # log rate scale (shifted-exponent mode)
 
 
 @dataclass
@@ -115,6 +116,12 @@ class VCMModel:
                                     # a multiple of the mesh size for even
                                     # sharding; pad rows are zero-rate, so the
                                     # event sequence is identical regardless)
+    rate_normalize: bool = False    # shifted-exponent rate table + log-space
+                                    # waiting times: REQUIRED on TPU for
+                                    # high-bias/large devices (this runtime's
+                                    # emulated f64 has the f32 exponent range
+                                    # — PERF_NOTES round 2); off by default
+                                    # for bit-parity with the reference
 
     tables: StaticTables = field(init=False)
 
@@ -170,12 +177,30 @@ class VCMModel:
         act_idx_np[: len(act)] = act
         abs2act_np = np.full(lat.N, na_pad - 1, np.int32)
         abs2act_np[act] = np.arange(len(act), dtype=np.int32)
-        act_neigh_np = np.full((na_pad, lat.neigh_idx.shape[1]), -1, np.int32)
-        act_neigh_np[: len(act)] = lat.neigh_idx[act]
-        act_self2_np = np.zeros((na_pad, self2.shape[1]), self2.dtype)
-        act_self2_np[: len(act)] = self2[act]
-        act_layer_np = np.zeros((na_pad, layer_nbr_np.shape[1]), np.int32)
-        act_layer_np[: len(act)] = layer_nbr_np[act]
+
+        # COLUMN compaction on top of the row compaction: only active-active
+        # pairs can ever carry a nonzero rate (event types pair {d,O,V,Od}
+    # species only, kmc_events.cu:160-218), so inactive-neighbor slots
+        # are dropped (stable order). Removed slots held EXACT zeros, so
+        # row sums, within-row cumsums and therefore the selected event
+        # sequence are bit-identical; only the gather volume shrinks
+        # (5 nm: (19969, 52) -> (19969, 40), ~33% less rate-build traffic).
+        nbr_act_rows = lat.neigh_idx[act]
+        keep = (nbr_act_rows >= 0) & active_np[np.clip(nbr_act_rows, 0, None)]
+        nn_act = max(8, int(keep.sum(axis=1).max()))
+        order_cols = np.argsort(~keep, axis=1, kind="stable")[:, :nn_act]
+        act_neigh_np = np.full((na_pad, nn_act), -1, np.int32)
+        act_neigh_np[: len(act)] = np.where(
+            np.take_along_axis(keep, order_cols, axis=1),
+            np.take_along_axis(nbr_act_rows, order_cols, axis=1),
+            -1,
+        )
+        act_self2_np = np.zeros((na_pad, nn_act), self2.dtype)
+        act_self2_np[: len(act)] = np.take_along_axis(self2[act], order_cols, axis=1)
+        act_layer_np = np.zeros((na_pad, nn_act), np.int32)
+        act_layer_np[: len(act)] = np.take_along_axis(
+            layer_nbr_np[act], order_cols, axis=1
+        )
 
         self.tables = StaticTables(
             pos=jnp.asarray(pos_np, f64),
@@ -283,12 +308,21 @@ class VCMModel:
         )
         pot_sum = pot_pair + pot_boundary   # sum_AB_into_A (psg.cu:1130-1151)
 
-        P, etype = build_event_table(
-            element, charge, pot_sum, T_bg,
-            t.act_neigh, t.act_self2, t.act_layer,
-            t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-            p.freq, p.sigma, p.k, rows=t.act_idx,
-        )
+        if self.rate_normalize:
+            P, etype, ln_S = build_event_table(
+                element, charge, pot_sum, T_bg,
+                t.act_neigh, t.act_self2, t.act_layer,
+                t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+                p.freq, p.sigma, p.k, rows=t.act_idx, normalize=True,
+            )
+        else:
+            P, etype = build_event_table(
+                element, charge, pot_sum, T_bg,
+                t.act_neigh, t.act_self2, t.act_layer,
+                t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+                p.freq, p.sigma, p.k, rows=t.act_idx,
+            )
+            ln_S = None
         return FieldsResult(
             charge=charge,
             potential_boundary=pot_boundary,
@@ -298,6 +332,7 @@ class VCMModel:
             cg_iterations=cg.iterations,
             q_overflow=q_overflow,
             v_overflow=v_overflow,
+            ln_S=ln_S,
         )
 
     @staticmethod
@@ -341,6 +376,7 @@ class VCMModel:
         res = run_event_loop(
             element, fr.charge, P, etype, neigh, rand_buf,
             self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
+            ln_S=fr.ln_S,
         )
         return fr, res, self._pack_diag(fr, res)
 
@@ -495,6 +531,7 @@ class VCMModel:
             res = run_event_loop(
                 element, fr.charge, P, etype, neigh, window,
                 self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
+                ln_S=fr.ln_S,
             )
             carry = (
                 res.element, res.charge, fr.potential_boundary,
@@ -689,6 +726,7 @@ class VCMModel:
                 res = run_event_loop_native(
                     element, fr.charge, P, etype, neigh, sub,
                     self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
+                    ln_S=fr.ln_S,
                 )
                 diag = self._pack_diag(fr, res)
                 return fr, res, diag, key
@@ -931,7 +969,7 @@ class VCMModel:
         P_rep, etype_rep, neigh_rep = self._loop_arrays(t, fr.P, fr.etype)
         res = run_event_loop(
             element, fr.charge, P_rep, etype_rep, neigh_rep, rand_buf,
-            p.freq, act_idx=t.act_idx, abs2act=t.abs2act,
+            p.freq, act_idx=t.act_idx, abs2act=t.abs2act, ln_S=fr.ln_S,
         )
 
         T_new = T_bg

@@ -69,6 +69,7 @@ def build_event_table(
     sigma: float,
     k: float,
     rows: jnp.ndarray = None,    # (R,) absolute site of each row, -1 padded
+    normalize: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rates P (R, NN) f64 and event types (R, NN) int32.
 
@@ -138,8 +139,25 @@ def build_event_table(
 
     any_event = (is_gen | is_rec | is_vdiff | is_odiff) & valid
     kT = KB_EV * T_bg
-    P = freq * (1.0 / (jnp.exp(EA / kT) + _EPS_OVERFLOW))
-    P = jnp.where(any_event, P, 0.0)
+    ln_S = None
+    if not normalize:
+        P = freq * (1.0 / (jnp.exp(EA / kT) + _EPS_OVERFLOW))
+        P = jnp.where(any_event, P, 0.0)
+    else:
+        # shifted-exponent rates for high-bias/large devices: this runtime's
+        # f64 is double-double emulation with the f32 EXPONENT RANGE
+        # (exp(100) = inf, exp(-100) = 0, saturation at ~3.4e38 — measured,
+        # PERF_NOTES round 2), so absolute rates freq*e^{-z} overflow at
+        # |z| ≳ 55. Store P~ = e^{z_min - z} <= 1 (identical selection
+        # ORDER; sums bounded by the row count) and return the log scale
+        # ln S = ln(freq) - z_min so the event loop reconstructs waiting
+        # times in log space.
+        z = EA / kT
+        z_valid = jnp.where(any_event, z, jnp.inf)
+        z_min = jnp.min(z_valid)
+        z_min = jnp.where(jnp.isfinite(z_min), z_min, 0.0)
+        P = jnp.where(any_event, jnp.exp(z_min - z), 0.0)
+        ln_S = jnp.log(freq) - z_min
 
     etype = jnp.where(
         is_gen, int(EVENT.VACANCY_GENERATION),
@@ -152,7 +170,54 @@ def build_event_table(
         ),
     )
     etype = jnp.where(any_event, etype, int(EVENT.NULL_EVENT)).astype(jnp.int32)
+    if normalize:
+        return P, etype, ln_S
     return P, etype
+
+
+
+_BLK = 256
+
+
+def _select_site(R, r_sel, n):
+    """Two-level site selection: block partial sums (one fast reduce) +
+    cumsum over n/256 blocks + cumsum inside the selected block, replacing a
+    full-length f64 cumsum per event (whose reduce-window lowering dominates
+    the loop body on TPU). Returns (site, prev_cum_below_site, total, target).
+
+    Equivalent to searchsorted(cumsum(R), r_sel*total): excluded-slot rates
+    are exact zeros and rates differ by orders of magnitude, so the
+    re-associated partial sums select the same event (golden-verified); only
+    the fp value of `total` shifts at the 1e-16 level.
+    """
+    if n % _BLK:
+        cum = jnp.cumsum(R)
+        total = cum[-1]
+        target = r_sel * total
+        site = jnp.clip(
+            jnp.searchsorted(cum, target, side="right").astype(jnp.int32), 0, n - 1
+        )
+        prev = jnp.where(site > 0, cum[site - 1], 0.0)
+        return site, prev, total, target
+
+    nb = n // _BLK
+    bs = jnp.sum(R.reshape(nb, _BLK), axis=1)
+    cumb = jnp.cumsum(bs)
+    total = cumb[-1]
+    target = r_sel * total
+    blk = jnp.clip(
+        jnp.searchsorted(cumb, target, side="right").astype(jnp.int32), 0, nb - 1
+    )
+    prev_b = jnp.where(blk > 0, cumb[blk - 1], 0.0)
+    Rblk = lax.dynamic_slice(R, (blk * _BLK,), (_BLK,))
+    cumr = jnp.cumsum(Rblk)
+    off = jnp.clip(
+        jnp.searchsorted(cumr, target - prev_b, side="right").astype(jnp.int32),
+        0, _BLK - 1,
+    )
+    site = blk * _BLK + off
+    prev = prev_b + jnp.where(off > 0, cumr[off - 1], 0.0)
+    return site, prev, total, target
 
 
 def _execute_event(element, charge, isel, jsel, etype):
@@ -206,6 +271,7 @@ def run_event_loop(
     event_time_in=None,        # carry when resuming an exhausted chunk
     act_idx: jnp.ndarray = None,   # (R,) absolute site per row, -1 padded
     abs2act: jnp.ndarray = None,   # (N,) absolute site -> row (pad row if none)
+    ln_S=None,                 # log rate scale when P is shifted-exponent
 ) -> EventLoopResult:
     """Fused residence-time loop (execute_kmc_step_mpi, kmc_events.cu:430-528).
 
@@ -237,15 +303,8 @@ def run_event_loop(
     def body(c):
         element, charge, P, R, cnt, ev_time, n_ev = c
 
-        cum = jnp.cumsum(R)
-        total = cum[-1]
-
         r_sel = rand_buf[cnt]
-        target = r_sel * total
-
-        site = jnp.searchsorted(cum, target, side="right").astype(jnp.int32)
-        site = jnp.clip(site, 0, n - 1)
-        prev = jnp.where(site > 0, cum[site - 1], 0.0)
+        site, prev, total, target = _select_site(R, r_sel, n)
         row = P[site]
         rowcum = jnp.cumsum(row)
         slot = jnp.searchsorted(rowcum, target - prev, side="right").astype(jnp.int32)
@@ -290,7 +349,18 @@ def run_event_loop(
         R = R.at[ar].set(jnp.sum(new_rows, axis=1))
 
         r_time = rand_buf[cnt + 1]
-        ev_time = jnp.where(ok, -jnp.log(r_time) / total, jnp.inf)
+        if ln_S is None:
+            ev_time = jnp.where(ok, -jnp.log(r_time) / total, jnp.inf)
+        else:
+            # waiting time in log space: -ln(r)/(S*total~) with
+            # ln S carried separately (S itself may exceed the emulated
+            # f64 exponent range)
+            ev_time = jnp.where(
+                ok,
+                jnp.exp(jnp.log(-jnp.log(r_time)) - jnp.log(
+                    jnp.where(ok, total, 1.0)) - ln_S),
+                jnp.inf,
+            )
         # a total-rate-0 iteration executes nothing and terminates via
         # ev_time=inf: consume no draws and count no event (the reference's
         # behavior here is degenerate/UB — no stream to match, but counting
@@ -330,6 +400,7 @@ def run_event_loop_native(
     max_events: int = 1 << 20,
     act_idx: jnp.ndarray = None,
     abs2act: jnp.ndarray = None,
+    ln_S=None,
 ) -> EventLoopResult:
     """Production-mode residence-time loop: draws come from JAX's on-device
     threefry stream instead of the replicated host mt19937 buffer. Same
@@ -350,13 +421,8 @@ def run_event_loop_native(
         element, charge, P, R, key, cnt, ev_time, n_ev = c
         key, k_sel, k_time = jax.random.split(key, 3)
 
-        cum = jnp.cumsum(R)
-        total = cum[-1]
-        target = jax.random.uniform(k_sel, dtype=P.dtype) * total
-        site = jnp.clip(
-            jnp.searchsorted(cum, target, side="right").astype(jnp.int32), 0, n - 1
-        )
-        prev = jnp.where(site > 0, cum[site - 1], 0.0)
+        r_sel = jax.random.uniform(k_sel, dtype=P.dtype)
+        site, prev, total, target = _select_site(R, r_sel, n)
         row = P[site]
         slot = jnp.clip(
             jnp.searchsorted(jnp.cumsum(row), target - prev, side="right").astype(jnp.int32),
@@ -396,7 +462,15 @@ def run_event_loop_native(
         R = R.at[ar].set(jnp.sum(new_rows, axis=1))
 
         r_time = jax.random.uniform(k_time, dtype=P.dtype)
-        ev_time = jnp.where(ok, -jnp.log1p(-r_time) / total, jnp.inf)
+        if ln_S is None:
+            ev_time = jnp.where(ok, -jnp.log1p(-r_time) / total, jnp.inf)
+        else:
+            ev_time = jnp.where(
+                ok,
+                jnp.exp(jnp.log(-jnp.log1p(-r_time)) - jnp.log(
+                    jnp.where(ok, total, 1.0)) - ln_S),
+                jnp.inf,
+            )
         dcnt = jnp.where(ok, 2, 0).astype(jnp.int32)
         return (element, charge, P, R, key, cnt + dcnt, ev_time, n_ev + dcnt // 2)
 

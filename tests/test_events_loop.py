@@ -228,3 +228,38 @@ def test_compacted_loop_matches_full(crafted):
     # mutated rate tables agree row-for-row on the active subset
     np.testing.assert_array_equal(np.asarray(comp.P)[: len(act)], np.asarray(full.P)[act])
     assert float(comp.event_time) == float(full.event_time)
+
+
+def test_normalized_rates_match_absolute():
+    """Shifted-exponent rate mode (rate_normalize=True): same event sequence
+    and waiting times as the absolute-rate parity path when both are in
+    range (on TPU the emulated f64's f32 exponent range makes the absolute
+    path overflow at high bias — the normalized path is the production mode
+    there)."""
+    import numpy as np
+    import pytest
+
+    from akmc_tpu.models.vcm import VCMModel
+    from akmc_tpu.rng import BufferedStream, ReferenceRNG
+    from akmc_tpu.state import make_device_state, make_substoichiometric
+    from tests.util_toy import toy_device
+
+    p, lat = toy_device()
+    lat.element0[:] = make_substoichiometric(lat.element0, 0.2, ReferenceRNG(7))
+
+    def run(**kw):
+        model = VCMModel(p, lat, **kw)
+        state = make_device_state(lat, p.background_temp)
+        stream = BufferedStream(ReferenceRNG(1))
+        ev, times = [], []
+        for _ in range(3):
+            state, stats = model.superstep(state, 2.0, stream)
+            ev.append(stats["n_events"])
+            times.append(stats["event_time"])
+        return state, ev, times
+
+    s_a, ev_a, t_a = run()
+    s_n, ev_n, t_n = run(rate_normalize=True)
+    assert ev_n == ev_a
+    np.testing.assert_array_equal(np.asarray(s_n.element), np.asarray(s_a.element))
+    np.testing.assert_allclose(t_n, t_a, rtol=1e-9)

@@ -116,7 +116,12 @@ def test_sharded_full_physics_matches_single_device():
     s8, st8 = run(8)
     assert st8["n_events"] == st1["n_events"]
     np.testing.assert_array_equal(np.asarray(s1.element), np.asarray(s8.element))
-    np.testing.assert_allclose(st8["I_macro"], st1["I_macro"], rtol=1e-9)
+    # I_macro is an extraction-rail difference of large virtual potentials:
+    # it amplifies the CG solution scatter (psum reduction order differs per
+    # mesh) by ~1e9 — measured cross-device agreement ~2e-7 relative at the
+    # 1e-16 solver tolerance (cf. the LU-accuracy ladder in
+    # test_current_oracle.py::test_cg_tolerance_scaling_at_2k_atoms)
+    np.testing.assert_allclose(st8["I_macro"], st1["I_macro"], rtol=1e-5)
     np.testing.assert_allclose(st8["T_bg"], st1["T_bg"], rtol=1e-12)
     np.testing.assert_allclose(
         np.asarray(s8.power), np.asarray(s1.power), rtol=1e-8, atol=1e-30

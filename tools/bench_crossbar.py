@@ -48,7 +48,9 @@ def main():
     t_build = time.perf_counter() - t0
     print(f"[build] N={lat.N} slots in {t_build:.1f}s", file=sys.stderr)
 
-    model = VCMModel(p, lat)
+    model = VCMModel(p, lat, rate_normalize=True)
+    # rate_normalize: this runtime's emulated f64 carries only the f32
+    # exponent range; at Vd=15 absolute rates overflow it (PERF_NOTES)
     assert model.dia is not None, "crossbar must use the DIA operator"
     print(
         f"[dia] {len(model.dia_meta.offsets)} offset diagonals, "
