@@ -238,6 +238,70 @@ def mask_null_slots(lat):
     return lat
 
 
+def crossbar_layers(contact_slices: int, oxide_slices: int, ti_slices: int,
+                    a: float = 2.131255):
+    """Layer table for a grid_stack structure: the TiN/HfO2/Ti/TiN energy
+    parameterization (structure_input.h:10-50) with x-ranges matched to the
+    generated slice layout (layer binning is last-match-wins by x,
+    KMCProcess.cpp:33-50)."""
+    from akmc_tpu.config import Layer
+
+    x0 = 0.0
+    x1 = (2 * contact_slices + oxide_slices + ti_slices - 1) * a
+    cL = contact_slices * a
+    ox_end = (contact_slices + oxide_slices) * a
+    return [
+        Layer("contact", 0.0, 0.0, 0.0, 0.76, x0 - 1, cL - a / 4),
+        Layer("oxide", 3.93, 0.0, 1.09, 0.76, cL - a / 4, ox_end - a / 4),
+        Layer("interface", 1.66, 0.0, 1.09, 0.76, ox_end - a / 4,
+              ox_end + ti_slices * a - a / 4),
+        # end past x1 + a/2: the last slice's (null) center slots sit there
+        Layer("contact", 1.73, 0.0, 0.0, 2.8, ox_end + ti_slices * a - a / 4,
+              x1 + a),
+    ]
+
+
+def synthesize_deck_structure(p, n_yz: int, a: float = 2.131255,
+                              ti_slices: int = 8):
+    """Stand-in structure for a crossbar DECK whose xyz files are stripped
+    from the reference snapshot (.MISSING_LARGE_BLOBS lists both 40 nm
+    crossbar files). Builds a grid-native stack whose x-extent matches the
+    deck's lattice[0] and whose contact depth matches num_layers_contact;
+    the y/z cross-section is set by ``n_yz`` (the deck's full 409.6 A
+    cross-section corresponds to n_yz=192).
+
+    Returns (p_patched, element, x, y, z): ``p_patched`` is a copy of the
+    deck parameters with the structure-derived fields (lattice,
+    contact counts, metals, layer table) replaced; every physics/run
+    parameter (V_switch, t_switch, seeds, flags, freq, sigma, ...) is kept
+    from the deck. Substoichiometry is NOT applied here — the driver's
+    standard pristine path does that with the deck's seed."""
+    import dataclasses
+
+    contact_slices = int(p.num_layers_contact) or 10
+    total_slices = max(
+        2 * contact_slices + ti_slices + 2,
+        int(round(p.lattice[0] / a)) if p.lattice else 50,
+    )
+    oxide_slices = total_slices - 2 * contact_slices - ti_slices
+
+    e, x, y, z, lattice, patch = grid_stack(
+        n_yz=n_yz, a=a, contact_slices=contact_slices,
+        oxide_slices=oxide_slices, ti_slices=ti_slices,
+        defect_fraction=0.1, seed=int(p.rnd_seed),
+    )
+    p_patched = dataclasses.replace(
+        p,
+        lattice=patch["lattice"],
+        num_atoms_first_layer=patch["num_atoms_first_layer"],
+        num_layers_contact=patch["num_layers_contact"],
+        num_atoms_contact=patch["num_atoms_contact"],
+        metals=patch["metals"],
+        layers=crossbar_layers(contact_slices, oxide_slices, ti_slices, a),
+    )
+    return p_patched, e, x, y, z
+
+
 def build_grid_crossbar(
     n_yz: int = 24,
     contact_slices: int = 10,
@@ -253,7 +317,7 @@ def build_grid_crossbar(
     """grid_stack -> substoichiometry -> Lattice with null links masked ->
     (KMCParameters, Lattice). The one-call crossbar construction used by the
     scale benchmarks and the crossbar runner."""
-    from akmc_tpu.config import KMCParameters, Layer
+    from akmc_tpu.config import KMCParameters
     from akmc_tpu.lattice import build_lattice
     from akmc_tpu.rng import ReferenceRNG
     from akmc_tpu.state import make_substoichiometric
@@ -266,16 +330,7 @@ def build_grid_crossbar(
     if vacancy_concentration:
         e = make_substoichiometric(e, vacancy_concentration, ReferenceRNG(seed + 1))
 
-    x0, x1 = 0.0, (2 * contact_slices + oxide_slices + ti_slices - 1) * a
-    cL = contact_slices * a
-    ox_end = (contact_slices + oxide_slices) * a
-    layers = [
-        Layer("contact", 0.0, 0.0, 0.0, 0.76, x0 - 1, cL - a / 4),
-        Layer("oxide", 3.93, 0.0, 1.09, 0.76, cL - a / 4, ox_end - a / 4),
-        Layer("interface", 1.66, 0.0, 1.09, 0.76, ox_end - a / 4, ox_end + ti_slices * a - a / 4),
-        # end past x1 + a/2: the last slice's (null) center slots sit there
-        Layer("contact", 1.73, 0.0, 0.0, 2.8, ox_end + ti_slices * a - a / 4, x1 + a),
-    ]
+    layers = crossbar_layers(contact_slices, oxide_slices, ti_slices, a)
     p = KMCParameters(
         lattice=list(lattice),
         nn_dist=3.5,

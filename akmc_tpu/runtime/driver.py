@@ -93,6 +93,8 @@ def run(
     resume_from: Optional[str] = None,
     steps_per_dispatch: int = 1,
     module_timing: bool = False,
+    synthesize_crossbar: Optional[int] = None,
+    rate_normalize: Optional[bool] = None,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
 
@@ -121,9 +123,22 @@ def run(
         os.path.join(workdir, "metrics.jsonl"), "a" if resume_from else "w"
     )
 
-    element, x, y, z = load_structure(p, base_dir)
-    if p.restart:
-        out.write(f"Restarting from {p.restart_xyz_file}\n")
+    if synthesize_crossbar:
+        # the reference ships the 40 nm crossbar DECK but strips its
+        # structure files (.MISSING_LARGE_BLOBS) — synthesize a grid-native
+        # stand-in honoring every deck parameter (models/crossbar.py)
+        from akmc_tpu.models.crossbar import synthesize_deck_structure
+
+        p, element, x, y, z = synthesize_deck_structure(p, synthesize_crossbar)
+        out.write(
+            f"Synthesized crossbar structure: {len(element)} slots "
+            f"(n_yz={synthesize_crossbar}; deck structure files are stripped "
+            "from the reference snapshot)\n"
+        )
+    else:
+        element, x, y, z = load_structure(p, base_dir)
+        if p.restart:
+            out.write(f"Restarting from {p.restart_xyz_file}\n")
 
     if p.pristine:
         element = make_substoichiometric(
@@ -131,9 +146,29 @@ def run(
         )
 
     lat = build_lattice(element, x, y, z, p, cache_dir=cache_dir)
-    model = VCMModel(p, lat)
+    if synthesize_crossbar:
+        from akmc_tpu.models.crossbar import mask_null_slots
+
+        mask_null_slots(lat)
+    if rate_normalize is None:
+        # the emulated f64 on this TPU runtime carries only the f32 exponent
+        # range; absolute rates freq*exp(-EA/kT) overflow it at high bias
+        # (PERF_NOTES round 2) — auto-select the shifted-exponent rate path.
+        # The parity default (False) is kept for low-bias decks like the
+        # golden 5 nm (Vd=5).
+        rate_normalize = bool(p.V_switch) and max(abs(v) for v in p.V_switch) >= 8.0
+    model = VCMModel(p, lat, rate_normalize=rate_normalize)
     state = make_device_state(lat, p.background_temp)
     kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
+
+    # snapshots carry physical sites only: the grid-native crossbar layout
+    # keeps NULL placeholder slots for enumeration regularity (no edges,
+    # no charge, no events) — they are not atoms and don't belong in xyz
+    from akmc_tpu.lattice import ELEM as _ELEM
+
+    snap_sel = np.asarray(lat.element0) != int(_ELEM.NULL_ELEMENT)
+    if snap_sel.all():
+        snap_sel = slice(None)
 
     full_physics = p.solve_current and not committed_parity
     m_warm = None   # virtual-potential warm start across supersteps
@@ -165,8 +200,10 @@ def run(
         out.write(f"Created folder: {folder}\n")
         write_xyz_snapshot(
             os.path.join(folder, "snapshot_init.xyz"),
-            np.asarray(state.element), lat.x, lat.y, lat.z,
-            np.asarray(state.potential_charge), np.asarray(state.power),
+            np.asarray(state.element)[snap_sel], lat.x[snap_sel],
+            lat.y[snap_sel], lat.z[snap_sel],
+            np.asarray(state.potential_charge)[snap_sel],
+            np.asarray(state.power)[snap_sel],
         )
 
         if vt_counter == resume_vt and resume_steps:
@@ -316,8 +353,10 @@ def run(
 
         write_xyz_snapshot(
             os.path.join(folder, f"snapshot_{kmc_step_count}.xyz"),
-            np.asarray(state.element), lat.x, lat.y, lat.z,
-            np.asarray(state.potential_charge), np.asarray(state.power),
+            np.asarray(state.element)[snap_sel], lat.x[snap_sel],
+            lat.y[snap_sel], lat.z[snap_sel],
+            np.asarray(state.potential_charge)[snap_sel],
+            np.asarray(state.power)[snap_sel],
         )
         if max_supersteps and total_steps >= max_supersteps:
             break
@@ -356,6 +395,13 @@ def main():
                          "per-module 'Z - calculation time' lines carry "
                          "measured values (slower than the fused superstep)")
     ap.add_argument(
+        "--synthesize-crossbar", type=int, default=None, metavar="N_YZ",
+        help="synthesize a grid-native crossbar structure for this deck "
+             "instead of reading its (upstream-stripped) xyz files; N_YZ "
+             "sets the y/z cross-section (the 40 nm deck's full 409.6 A "
+             "corresponds to N_YZ=192)",
+    )
+    ap.add_argument(
         "--full-physics", action="store_true",
         help="enable the current/power/heating branch the committed "
              "reference dead-codes (comm_T nulled)",
@@ -371,6 +417,7 @@ def main():
         resume_from=args.resume_from,
         steps_per_dispatch=args.steps_per_dispatch,
         module_timing=args.module_timing,
+        synthesize_crossbar=args.synthesize_crossbar,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 

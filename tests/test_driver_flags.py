@@ -136,3 +136,58 @@ def test_module_timing_lines(tmp_path, monkeypatch):
         vals = [float(v) for v in vals]
         assert all(v > 0 for v in vals)
         assert len(set(vals)) > 1, "module timings identical — not measured"
+
+
+def test_synthesized_crossbar_deck(tmp_path):
+    """--synthesize-crossbar: a crossbar DECK (the reference strips the 40 nm
+    structure files — .MISSING_LARGE_BLOBS) runs end-to-end on a grid-native
+    stand-in structure honoring every deck parameter; high bias auto-selects
+    the shifted-exponent rate path (absolute rates at Vd=15 overflow even
+    real f64: exp(11 eV / kT) ~ e^425)."""
+    from akmc_tpu.lattice import read_xyz
+    from akmc_tpu.runtime import driver
+
+    a = 2.131255
+    deck = tmp_path / "parameters.txt"
+    # the 40 nm deck's shape (V=15, potential-only, pristine), scaled down:
+    # lattice x = 24 slices, 4-slice contacts
+    deck.write_text(f"""
+rnd_seed = 32
+restart = 1
+restart_xyz_file = crossbar_40_original_order.xyz
+lattice = {24 * a:.6f} {8 * a:.6f} {8 * a:.6f}
+pristine = 1
+initial_vacancy_concentration = 0.05
+attempt_frequency = 10e13
+nn_dist = 3.5
+perturb_structure = 1
+solve_potential = 1
+solve_current = 0
+sigma = 3.5e-10
+epsilon = 23.0
+background_temp = 300
+pbc = 0
+V_switch = 15
+t_switch = 1e30
+output_freq = 1
+num_atoms_first_layer = 33600
+num_layers_contact = 4
+num_atoms_contact = 336000
+metals = Ti N
+""")
+    summary = driver.run(
+        str(deck), workdir=str(tmp_path / "out"), max_supersteps=2, log=False,
+        synthesize_crossbar=8,
+    )
+    assert summary["total_steps"] == 2
+    out = (tmp_path / "out" / "output1_0.txt").read_text()
+    assert "Synthesized crossbar structure" in out
+    assert "Applied Voltage = 15 V" in out
+    times = [float(m) for m in re.findall(r"KMC time is: ([\d.eE+-]+)", out)]
+    assert len(times) == 2 and all(t > 0 for t in times) and np.isfinite(times).all()
+    # snapshots carry only physical sites (null placeholder slots dropped):
+    # 24 slices x (64 grid + defect-occupied centers) sites
+    e0, *_ = read_xyz(str(tmp_path / "out" / "Results_15.000000" / "snapshot_init.xyz"))
+    n_slots = 24 * 2 * 8 * 8
+    assert len(e0) < n_slots
+    assert len(e0) >= 24 * 64

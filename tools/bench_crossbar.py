@@ -8,9 +8,10 @@ the attached device and reports s/superstep.
 
     python tools/bench_crossbar.py [n_yz] [n_steps]
 
-n_yz=64 -> N = 892,928 slots (incl. null placeholders; ~630k physical
-sites). The K solve uses the gather-free DIA operator (solvers/dia.py) —
-the ELL/banded formulations do not compile/fit at this scale.
+n_yz=64 -> N = 409,600 slots (incl. null placeholders; ~215k physical
+sites); n_yz=112 -> N = 1,254,400 slots (~660k physical sites). The K
+solve uses the gather-free DIA operator (solvers/dia.py) — the ELL/banded
+formulations do not compile/fit at this scale.
 """
 
 import json
