@@ -118,3 +118,96 @@ def shard_model(model, mesh: Mesh):
 def replicate_state(state, mesh: Mesh):
     rep = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, rep), state)
+
+
+# ----------------------------------------------------------------------
+# Concern-group splitting (P7, split=true): the reference's KMC_comm can
+# partition WORLD into a dedicated K-solve group and a pairwise-solve group
+# by `ratio` and run the two solves CONCURRENTLY on disjoint ranks
+# (KMC_comm.h:132-223; constructed split=false in the committed binary,
+# kmc_main.cpp:161-171). TPU equivalent: two disjoint device sub-meshes and
+# two independent async dispatches — JAX enqueues both without blocking, so
+# they execute concurrently on their device groups, exactly the reference's
+# task parallelism; a third combine step sums the potentials (the
+# sum_and_gather_potential Bcast+add, potential_solver_gpu.cu:1130-1151).
+# ----------------------------------------------------------------------
+def split_concern_groups(ratio=(1, 3), n_devices: Optional[int] = None):
+    """Partition the visible devices into (mesh_K, mesh_pairwise) by ratio
+    (reference default ratio {8, 24}, kmc_main.cpp:163). Needs >= 2 devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if len(devs) < 2:
+        raise ValueError("concern-group splitting needs >= 2 devices")
+    nk = min(len(devs) - 1, max(1, (len(devs) * ratio[0]) // sum(ratio)))
+    mesh_k = Mesh(np.array(devs[:nk]), (SITE_AXIS,))
+    mesh_pair = Mesh(np.array(devs[nk:]), (SITE_AXIS,))
+    return mesh_k, mesh_pair
+
+
+class ConcernGroups:
+    """Concurrent K-solve / pairwise-solve execution over two device groups.
+
+    ``fields(element, charge, pb_prev, T_bg, Vd)`` reproduces the model's
+    sequential ``_fields`` result (same math; fp differences only from the
+    groups' own reduction orders). The charge update is computed redundantly
+    in both groups — replicated work, like the reference's events-group
+    recomputation — so neither dispatch waits on the other."""
+
+    def __init__(self, model, ratio=(1, 3), n_devices: Optional[int] = None):
+        self.model = model
+        self.mesh_k, self.mesh_pair = split_concern_groups(ratio, n_devices)
+        p = model.params
+
+        def _k_side(t, kop, element, charge_in, pb_prev, Vd):
+            from akmc_tpu.ops.charge import update_charge_compact
+
+            charge = update_charge_compact(
+                element, charge_in, t.neigh_idx, t.any_metal_nbr, model.vmax
+            )
+            pot, cg = model._solve_boundary(kop, t, element, charge, pb_prev, Vd)
+            return pot, cg.iterations
+
+        def _pair_side(t, element, charge_in):
+            from akmc_tpu.ops.charge import update_charge_compact
+            from akmc_tpu.ops.pairwise import pairwise_potential
+
+            charge = update_charge_compact(
+                element, charge_in, t.neigh_idx, t.any_metal_nbr, model.vmax
+            )
+            pot_pair, q_ovf = pairwise_potential(
+                t.pos, charge, p.cutoff_radius, p.sigma, p.k, qmax=model.qmax
+            )
+            return charge, pot_pair, q_ovf
+
+        self._k_jit = jax.jit(_k_side)
+        self._pair_jit = jax.jit(_pair_side)
+
+        # each group holds its own replicated copy of the (static) tables
+        t = model.tables
+        self._t_k = jax.tree.map(
+            lambda a: jax.device_put(a, replicated(self.mesh_k)), t
+        )
+        self._kop_k = jax.tree.map(
+            lambda a: jax.device_put(a, replicated(self.mesh_k)), model.kop
+        )
+        self._t_pair = jax.tree.map(
+            lambda a: jax.device_put(a, replicated(self.mesh_pair)), t
+        )
+
+    def fields(self, element, charge, pb_prev, T_bg, Vd):
+        """Concurrent charge+K (group K) and charge+pairwise (group pair):
+        both dispatches are enqueued before either result is awaited."""
+        rep_k = replicated(self.mesh_k)
+        rep_p = replicated(self.mesh_pair)
+        e_k = jax.device_put(element, rep_k)
+        c_k = jax.device_put(charge, rep_k)
+        pb_k = jax.device_put(pb_prev, rep_k)
+        e_p = jax.device_put(element, rep_p)
+        c_p = jax.device_put(charge, rep_p)
+        # async: neither .block_until_ready nor host pull between dispatches
+        pot_b, cg_iters = self._k_jit(self._t_k, self._kop_k, e_k, c_k, pb_k, Vd)
+        charge_new, pot_pair, q_ovf = self._pair_jit(self._t_pair, e_p, c_p)
+        # combine on the pairwise group (sum_AB_into_A)
+        pot_sum = pot_pair + jax.device_put(pot_b, rep_p)
+        return charge_new, pot_b, pot_sum, cg_iters, q_ovf

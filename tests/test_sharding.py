@@ -155,3 +155,35 @@ def test_sharded_batched_dispatch_matches_single_device():
     np.testing.assert_array_equal(np.asarray(s1.element), np.asarray(s8.element))
     np.testing.assert_array_equal(np.asarray(s1.charge), np.asarray(s8.charge))
     assert float(s1.kmc_time) == pytest.approx(float(s8.kmc_time), rel=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_concern_group_split_matches_sequential():
+    """P7 split=true equivalent: the K solve and the pairwise solve run as
+    concurrent dispatches on disjoint device groups (reference KMC_comm.h:
+    132-223, ratio {8,24}) and reproduce the sequential _fields result."""
+    from akmc_tpu.parallel.mesh import ConcernGroups
+
+    p, lat = _padded_toy(8)
+    model = VCMModel(p, lat)
+    state = make_device_state(lat, p.background_temp)
+    Vd = 2.0
+
+    fr = model._run_fields(state, Vd)
+    groups = ConcernGroups(model, ratio=(1, 3))
+    assert groups.mesh_k.size >= 1 and groups.mesh_pair.size >= 1
+    assert not (
+        set(groups.mesh_k.devices.ravel()) & set(groups.mesh_pair.devices.ravel())
+    )
+    charge, pot_b, pot_sum, cg_iters, q_ovf = groups.fields(
+        state.element, state.charge, state.potential_boundary, state.T_bg, Vd
+    )
+    np.testing.assert_array_equal(np.asarray(charge), np.asarray(fr.charge))
+    np.testing.assert_allclose(
+        np.asarray(pot_b), np.asarray(fr.potential_boundary), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(pot_sum), np.asarray(fr.potential_sum), rtol=1e-10, atol=1e-12
+    )
+    assert int(cg_iters) > 0
+    assert not bool(np.asarray(q_ovf))
