@@ -75,17 +75,35 @@ def build_banded_k(
     wide for the dense band to pay off, or if the band blocks would exceed
     ``max_band_bytes`` (fall back to the ELL path)."""
     n = pos.shape[0]
-    order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
-    inv = np.empty(n, np.int64)
-    inv[order] = np.arange(n)
-
     valid = k_neigh_idx >= 0
-    rows_p = inv[np.arange(n)][:, None]
-    cols_p = inv[np.clip(k_neigh_idx, 0, None)]
-    offs = np.where(valid, cols_p - rows_p, 0)
     if not valid.any():
         return None
-    B = int(np.abs(offs[valid]).max())
+
+    # internal ordering: axis-permuted lexsort, keeping whichever outer axis
+    # yields the smallest measured bandwidth. The band width under an
+    # "a-outer" lexsort scales with the (b x c) cross-section, so thin-x
+    # device stacks prefer x-outer while wide-y/z crossbar sheets prefer
+    # z-outer (2x2-tiled 5 nm: 8638 -> 5786, measured round 2). Morton/SFC
+    # codes were measured FAR worse for the max |i-j| metric a dense band
+    # needs (104,952 on the same structure — power-of-2 boundary jumps), so
+    # space-filling curves are rejected here (PERF_NOTES).
+    jc = np.clip(k_neigh_idx, 0, None)
+    best = None
+    for keys in (
+        (pos[:, 2], pos[:, 1], pos[:, 0]),      # x-outer
+        (pos[:, 2], pos[:, 0], pos[:, 1]),      # y-outer
+        (pos[:, 0], pos[:, 1], pos[:, 2]),      # z-outer
+    ):
+        o = np.lexsort(keys)
+        iv = np.empty(n, np.int64)
+        iv[o] = np.arange(n)
+        b = int(np.abs(np.where(valid, iv[jc] - iv[:, None], 0)).max())
+        if best is None or b < best[0]:
+            best = (b, o, iv)
+    B, order, inv = best
+
+    rows_p = inv[np.arange(n)][:, None]
+    cols_p = inv[jc]
     limit = max_bandwidth if max_bandwidth is not None else n // 4
     if B > limit:
         return None

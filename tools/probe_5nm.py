@@ -85,11 +85,15 @@ def main():
     ch = jax.block_until_ready(charge_jit(state.element, state.charge))
     timed("charge update", lambda i: charge_jit(state.element, state.charge))
 
-    bnd_jit = jax.jit(lambda el, ch, pb, vd: model._solve_boundary(
-        model.kop, t, el, ch, pb, vd))
-    jax.block_until_ready(bnd_jit(state.element, ch, state.potential_boundary, Vd))
+    # pass tables/operator as ARGUMENTS: closed-over big arrays get baked
+    # into the serialized compile request (HTTP 413 through the tunnel) and
+    # run ~600x slower per call (PERF_NOTES)
+    bnd_jit = jax.jit(lambda tt, kop, el, ch, pb, vd: model._solve_boundary(
+        kop, tt, el, ch, pb, vd))
+    jax.block_until_ready(bnd_jit(
+        t, model.kop, state.element, ch, state.potential_boundary, Vd))
     pot, cg = timed("K boundary solve", lambda i: bnd_jit(
-        state.element, ch, state.potential_boundary, Vd + i * 1e-12))
+        t, model.kop, state.element, ch, state.potential_boundary, Vd + i * 1e-12))
     print(f"  (cg_iterations warm = {int(cg.iterations)})", file=sys.stderr)
 
     from akmc_tpu.ops.pairwise import pairwise_potential
@@ -99,14 +103,14 @@ def main():
     timed("pairwise potential", lambda i: pair_jit(t.pos + i * 1e-18, ch))
 
     from akmc_tpu.ops.events import build_event_table
-    rates_jit = jax.jit(lambda el, ch, pot, tbg: build_event_table(
-        el, ch, pot, tbg, t.act_neigh, t.act_self2, t.act_layer,
-        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-        p.freq, p.sigma, p.k, rows=t.act_idx))
+    rates_jit = jax.jit(lambda tt, el, ch, pot, tbg: build_event_table(
+        el, ch, pot, tbg, tt.act_neigh, tt.act_self2, tt.act_layer,
+        tt.E_gen, tt.E_rec, tt.E_Vdiff, tt.E_Odiff,
+        p.freq, p.sigma, p.k, rows=tt.act_idx))
     ps = fr.potential_sum
-    jax.block_until_ready(rates_jit(state.element, ch, ps, state.T_bg))
+    jax.block_until_ready(rates_jit(t, state.element, ch, ps, state.T_bg))
     timed("rate-table build", lambda i: rates_jit(
-        state.element, ch, ps + i * 1e-18, state.T_bg))
+        t, state.element, ch, ps + i * 1e-18, state.T_bg))
 
 
 if __name__ == "__main__":
