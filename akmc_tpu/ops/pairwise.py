@@ -45,11 +45,19 @@ def pairwise_potential(
     sigma: float,              # [m]
     k: float,                  # [N m^2 / C^2]
     qmax: int = 2048,
-    row_block: int = 4096,
+    row_block: int = None,
+    plane_budget: int = 512 * 1024 * 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns ((N,) potential [V], overflow flag)."""
+    """Returns ((N,) potential [V], overflow flag).
+
+    Row blocking: rows are independent, so any partition is bit-identical;
+    a single fused (N, Q) pass minimizes the op count (the tunneled runtime
+    charges a fixed per-op cost, PERF_NOTES), while very large N*Q planes
+    are row-blocked via ``lax.map`` to bound the fused buffer size."""
     n = pos.shape[0]
     dt = pos.dtype
+    if row_block is None:
+        row_block = n if n * qmax * 8 <= plane_budget else 4096
 
     charged = charge != 0
     n_charged = jnp.sum(charged)

@@ -45,11 +45,12 @@ class BandedK(NamedTuple):
     perm: jax.Array          # (N,) site index (orig) per solver-frame slot
     inv_perm: jax.Array      # (N,) solver-frame slot per site
     blocks: jax.Array        # (nb, T, W) static band blocks [solver frame]
-    deg_static: jax.Array    # (N,) static diagonal part (all-neighbor G sums)
-    lsum: jax.Array          # (N,) static left-contact row sums
-    rsum: jax.Array          # (N,) static right-contact row sums
+    deg_static: jax.Array    # (N,) static diagonal part, SOLVER frame
+    lsum: jax.Array          # (N,) static left-contact row sums, solver frame
+    rsum: jax.Array          # (N,) static right-contact row sums, solver frame
     pos_p: jax.Array         # (N, 3) positions in solver frame
     is_vac_site: jax.Array   # (N,) static possibly-vacancy mask (solver frame)
+    is_int: jax.Array        # (N,) static interface-row mask, solver frame
     # static geometry ints live in BandMeta (not traced through jit args)
 
 
@@ -132,7 +133,9 @@ def build_banded_k(
     assert ok.all()
     np.add.at(blocks, (b_idx, r_idx, w_idx), v)
 
-    # static diagonal and contact row sums — in ORIGINAL frame for reuse
+    # static diagonal / contact row sums / interface mask — stored PERMUTED
+    # (solver frame): re-permuting them per solve cost 3 O(N) gathers + 2
+    # compares in the warm path
     L = R = num_atoms_first_layer
     degs = np.where(valid, np.where(mm, high_G, low_G), 0.0)
     deg_static = degs.sum(1)
@@ -150,11 +153,12 @@ def build_banded_k(
         perm=jnp.asarray(order.astype(np.int32)),
         inv_perm=jnp.asarray(inv.astype(np.int32)),
         blocks=jnp.asarray(blocks),
-        deg_static=jnp.asarray(deg_static),
-        lsum=jnp.asarray(lsum),
-        rsum=jnp.asarray(rsum),
+        deg_static=jnp.asarray(deg_static[order]),
+        lsum=jnp.asarray(lsum[order]),
+        rsum=jnp.asarray(rsum[order]),
         pos_p=jnp.asarray(pos[order]),
         is_vac_site=jnp.asarray(poss_vac[order]),
+        is_int=jnp.asarray((order >= L) & (order < n - R)),
     )
     return bk, BandMeta(half_band=B, block_rows=T, n_pad=n_pad)
 
@@ -248,17 +252,13 @@ def solve_potential_boundary_banded(
     vidx, vv, Wv, vdeg = cvac_correction(bk, cvac_p, nn_dist, lattice, pbc, vmax)
 
     # diagonal: static all-neighbor sums + dynamic cvac-edge upgrades
-    diag_p = bk.deg_static[bk.perm] + dG * (
+    # (deg/lsum/rsum/is_int are stored pre-permuted — solver frame)
+    diag_p = bk.deg_static + dG * (
         jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, vdeg, 0.0))
     )
+    is_int_p = bk.is_int
 
-    # interface mask in solver frame (contacts are x-extremal => they keep
-    # their original [0,L) / [n-R,n) positions under lexsort, but compute
-    # the mask robustly from the permutation)
-    orig_idx = bk.perm
-    is_int_p = (orig_idx >= L) & (orig_idx < n - R)
-
-    rhs_p = (bk.lsum[bk.perm] * (-Vd / 2.0) + bk.rsum[bk.perm] * (Vd / 2.0)) * is_int_p
+    rhs_p = (bk.lsum * (-Vd / 2.0) + bk.rsum * (Vd / 2.0)) * is_int_p
 
     # NOTE: folding the cvac edges into a per-superstep copy of the band was
     # measured ~90 ms/superstep SLOWER on the tunneled runtime (the 1.5 GB
