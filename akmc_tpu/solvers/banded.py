@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from akmc_tpu.lattice import ELEM
-from akmc_tpu.solvers.cg import CGResult, jacobi_cg
+from akmc_tpu.solvers.cg import CGResult, f64_matvec, jacobi_cg
 
 
 class BandedK(NamedTuple):
@@ -167,10 +167,11 @@ def band_matvec(bk: BandedK, meta: BandMeta, x_p: jnp.ndarray) -> jnp.ndarray:
     """y = BAND @ x in the solver frame. x_p: (N,) full-length (contacts
     included).
 
-    ONE batched einsum over all blocks (a lax.map of per-block matvecs
-    serializes and measured ~0.6 ms/block in device traces). The overlapping
-    windows x[t*T - B : t*T + T + B] are assembled from ceil(W/T)+1 STATIC
-    shifted slices of the padded vector — reshapes only, no gathers."""
+    ONE batched mul+reduce over all blocks (a lax.map of per-block matvecs
+    serializes; a f64 einsum/dot_general lowers ~12x slower on this runtime —
+    see f64_matvec). The overlapping windows x[t*T - B : t*T + T + B] are
+    assembled from ceil(W/T)+1 STATIC shifted slices of the padded vector —
+    reshapes only, no gathers."""
     n = x_p.shape[0]
     B, T, n_pad = meta.half_band, meta.block_rows, meta.n_pad
     nb = bk.blocks.shape[0]
@@ -186,10 +187,11 @@ def band_matvec(bk: BandedK, meta: BandMeta, x_p: jnp.ndarray) -> jnp.ndarray:
     ]
     windows = jnp.concatenate(pieces, axis=1)[:, :W]        # (nb, W)
 
-    y = jnp.einsum(
-        "btw,bw->bt", bk.blocks, windows,
-        preferred_element_type=x_p.dtype,
-    )
+    # mul+reduce, NOT einsum: f64 dot_general lowers pathologically on this
+    # runtime (~125 ms vs ~10 ms for this formulation at N=37,650 — measured,
+    # PERF_NOTES round 2); XLA fuses the (nb, 1, W) broadcast into the
+    # reduction, so the band blocks are read once
+    y = jnp.sum(bk.blocks * windows[:, None, :], axis=2)
     return y.reshape(n_pad)[:n]
 
 
@@ -269,7 +271,7 @@ def solve_potential_boundary_banded(
         xz = jnp.where(is_int_p, x_p, 0.0)
         y = diag_p * xz - band_matvec(bk, meta, xz)
         xv = jnp.where(vv, xz[vidx.clip(0)], 0.0)
-        corr = dG * (Wv @ xv)
+        corr = dG * f64_matvec(Wv, xv)
         y = y - jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, corr, 0.0))
         # BAND includes edges to contact columns, but xz zeroes them; rows of
         # contacts are masked out of the solve entirely:

@@ -25,6 +25,21 @@ from jax import lax
 Operator = Callable[[jnp.ndarray], jnp.ndarray]
 
 
+def f64_matvec(M: jnp.ndarray, v: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """Dense f64 matvec as broadcast-multiply + reduce.
+
+    On this TPU runtime f64 ``dot_general`` (einsum/@/jnp.dot on matrices)
+    lowers pathologically: a (74,512,4818) band matvec measured ~125 ms
+    device vs ~10 ms for the identical mul+reduce (values agree to 1e-14 —
+    fp reassociation only). Plain f64 elementwise/reduce ops are fast, so
+    every dense matvec in a hot path goes through this helper. ``axis=1``
+    computes M @ v; ``axis=0`` computes M.T @ v without materializing M.T.
+    """
+    if axis == 1:
+        return jnp.sum(M * v[None, :], axis=1)
+    return jnp.sum(M * v[:, None], axis=0)
+
+
 class CGResult(NamedTuple):
     x: jnp.ndarray
     iterations: jnp.ndarray      # int32

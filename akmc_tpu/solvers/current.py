@@ -48,7 +48,7 @@ import numpy as np
 
 from akmc_tpu.config import EV_TO_J, H_BAR
 from akmc_tpu.lattice import ELEM
-from akmc_tpu.solvers.cg import jacobi_cg
+from akmc_tpu.solvers.cg import f64_matvec, jacobi_cg
 
 
 class CurrentTables(NamedTuple):
@@ -276,8 +276,8 @@ def _X_atoms_matvec(ct: CurrentTables, ps: PowerSystem, va: jnp.ndarray) -> jnp.
     v_v = jnp.where(vv, va[vi], 0.0)
     v_c = va[ct.contact_idx]
 
-    y_v = -(ps.W_tt @ v_v) - (ps.W_ct.T @ v_c)          # per vacancy slot
-    y_c = -(ps.W_cc @ v_c) - (ps.W_ct @ v_v)            # per contact
+    y_v = -f64_matvec(ps.W_tt, v_v) - f64_matvec(ps.W_ct, v_c, axis=0)   # per vacancy slot
+    y_c = -f64_matvec(ps.W_cc, v_c) - f64_matvec(ps.W_ct, v_v)           # per contact
     y = y.at[vi].add(jnp.where(vv, y_v, 0.0))
     y = y.at[ct.contact_idx].add(y_c)
     return y

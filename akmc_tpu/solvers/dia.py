@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from akmc_tpu.lattice import ELEM
-from akmc_tpu.solvers.cg import CGResult, jacobi_cg
+from akmc_tpu.solvers.cg import CGResult, f64_matvec, jacobi_cg
 
 
 class DiaK(NamedTuple):
@@ -177,7 +177,7 @@ def solve_potential_boundary_dia(
         xz = jnp.where(is_int, x, 0.0)
         y = diag * xz - dia_matvec(dia, meta, xz)
         xv = jnp.where(vv, xz[vidx.clip(0)], 0.0)
-        corr = dG * (Wv @ xv)
+        corr = dG * f64_matvec(Wv, xv)
         y = y - jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, corr, 0.0))
         return jnp.where(is_int, y, x)
 
