@@ -44,7 +44,12 @@ from akmc_tpu.solvers.cg import CGResult, f64_matvec, jacobi_cg
 class BandedK(NamedTuple):
     perm: jax.Array          # (N,) site index (orig) per solver-frame slot
     inv_perm: jax.Array      # (N,) solver-frame slot per site
-    blocks: jax.Array        # (nb, T, W) static band blocks [solver frame]
+    blocks: jax.Array        # (nb, T, W) int8 band codes [solver frame]:
+    #                          0 = no edge, 1 = low_G edge, 2 = metal-metal
+    #                          (low_G + dG) edge. Values are decoded inside
+    #                          band_matvec from BandMeta's baked constants —
+    #                          8x less HBM traffic than f64 value blocks,
+    #                          bit-identical products (same stored values).
     deg_static: jax.Array    # (N,) static diagonal part, SOLVER frame
     lsum: jax.Array          # (N,) static left-contact row sums, solver frame
     rsum: jax.Array          # (N,) static right-contact row sums, solver frame
@@ -58,6 +63,12 @@ class BandMeta(NamedTuple):
     half_band: int
     block_rows: int
     n_pad: int
+    # band-value decode constants (host f64, baked static into the jit):
+    # code 1 -> val_low, code 2 -> val_both (= low_G + dG summed on HOST in
+    # real f64, so the decoded values match the former f64 blocks bit-exactly
+    # on every backend)
+    val_low: float = 0.0
+    val_both: float = 0.0
 
 
 def build_banded_k(
@@ -113,25 +124,30 @@ def build_banded_k(
     nb = -(-n // T)
     n_pad = nb * T
     W = T + 2 * B
-    if nb * T * W * 8.0 > max_band_bytes:
+    # int8 code blocks (1 byte/slot; the decode to f64 happens on the fly
+    # inside band_matvec's fused mul+reduce)
+    if nb * T * W * 1.0 > max_band_bytes:
         return None
 
     dG = high_G - low_G
-    # static edge values: low_G everywhere + dG on metal-metal edges
     mm = is_metal[:, None] & is_metal[np.clip(k_neigh_idx, 0, None)] & valid
-    vals = np.where(valid, low_G, 0.0) + np.where(mm, dG, 0.0)
 
-    blocks = np.zeros((nb, T, W), np.float64)
-    # scatter edges into band blocks (solver frame)
+    # scatter edge CODES into band blocks (solver frame): 1 = low_G edge,
+    # 2 = metal-metal (low_G + dG) edge
+    blocks = np.zeros((nb, T, W), np.int8)
     src_rows = rows_p.repeat(k_neigh_idx.shape[1]).reshape(n, -1)[valid]
     src_cols = cols_p[valid]
-    v = vals[valid]
     b_idx = src_rows // T
     r_idx = src_rows % T
     w_idx = src_cols - (b_idx * T - B)
     ok = (w_idx >= 0) & (w_idx < W)
     assert ok.all()
-    np.add.at(blocks, (b_idx, r_idx, w_idx), v)
+    np.add.at(blocks, (b_idx, r_idx, w_idx), np.int8(1))
+    # no two edges may share a band slot (adjacency rows hold unique cols) —
+    # a collision would have SUMMED values in the former f64 band
+    assert blocks.max() <= 1, "duplicate (row, col) edge in k_neigh_idx"
+    mm_e = mm[valid]
+    np.add.at(blocks, (b_idx[mm_e], r_idx[mm_e], w_idx[mm_e]), np.int8(1))
 
     # static diagonal / contact row sums / interface mask — stored PERMUTED
     # (solver frame): re-permuting them per solve cost 3 O(N) gathers + 2
@@ -160,7 +176,10 @@ def build_banded_k(
         is_vac_site=jnp.asarray(poss_vac[order]),
         is_int=jnp.asarray((order >= L) & (order < n - R)),
     )
-    return bk, BandMeta(half_band=B, block_rows=T, n_pad=n_pad)
+    return bk, BandMeta(
+        half_band=B, block_rows=T, n_pad=n_pad,
+        val_low=float(low_G), val_both=float(low_G + dG),
+    )
 
 
 def band_matvec(bk: BandedK, meta: BandMeta, x_p: jnp.ndarray) -> jnp.ndarray:
@@ -189,9 +208,13 @@ def band_matvec(bk: BandedK, meta: BandMeta, x_p: jnp.ndarray) -> jnp.ndarray:
 
     # mul+reduce, NOT einsum: f64 dot_general lowers pathologically on this
     # runtime (~125 ms vs ~10 ms for this formulation at N=37,650 — measured,
-    # PERF_NOTES round 2); XLA fuses the (nb, 1, W) broadcast into the
-    # reduction, so the band blocks are read once
-    y = jnp.sum(bk.blocks * windows[:, None, :], axis=2)
+    # PERF_NOTES round 2); XLA fuses the int8->f64 decode and the (nb, 1, W)
+    # broadcast into the reduction, so only the 1-byte codes cross HBM
+    c = bk.blocks
+    bf = jnp.where(
+        c == 2, meta.val_both, jnp.where(c == 1, meta.val_low, 0.0)
+    )
+    y = jnp.sum(bf * windows[:, None, :], axis=2)
     return y.reshape(n_pad)[:n]
 
 
