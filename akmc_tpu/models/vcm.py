@@ -30,7 +30,7 @@ from akmc_tpu.ops.events import (
     run_event_loop,
     run_event_loop_native,
 )
-from akmc_tpu.ops.pairwise import pairwise_potential
+from akmc_tpu.ops.pairwise import pairwise_potential, pairwise_potential_table
 from akmc_tpu.rng import ReferenceRNG
 from akmc_tpu.solvers.current import (
     CurrentTables,
@@ -86,6 +86,11 @@ class StaticTables(NamedTuple):
     act_neigh: jax.Array          # (NA, NN) absolute neighbor ids, -1 padded
     act_self2: jax.Array          # (NA, NN)
     act_layer: jax.Array          # (NA, NN)
+    # optional static pairwise interaction table (pairwise.PairTable,
+    # full-f64 or hi/lo-f32 storage): present when NP*N*8 fits
+    # pair_table_budget — collapses the per-superstep pairwise solve to a
+    # row gather + multiply-reduce. None => on-the-fly pairwise_potential.
+    pair_gT: Optional[object] = None
 
 
 class FieldsResult(NamedTuple):
@@ -122,6 +127,11 @@ class VCMModel:
                                     # emulated f64 has the f32 exponent range
                                     # — PERF_NOTES round 2); off by default
                                     # for bit-parity with the reference
+    pair_table_budget: float = 8e9  # bytes: build the static (NP, N)
+                                    # pairwise interaction table when it fits
+                                    # (5 nm: 6.0 GB; crossbar scales exceed
+                                    # it and keep the on-the-fly path). 0
+                                    # disables.
 
     tables: StaticTables = field(init=False)
 
@@ -230,6 +240,23 @@ class VCMModel:
             act_layer=jnp.asarray(act_layer_np),
         )
 
+        # static pairwise interaction table (charged sites are always drawn
+        # from the active class, so its rows cover every possible source);
+        # abs2act doubles as the site -> table-row map. On the dd-emulated
+        # TPU runtime the table is stored as hi/lo f32 planes: an f64
+        # parameter of that size costs 2x extra in-program copies from the
+        # X64-rewrite pass (measured OOM, PERF_NOTES).
+        if 0 < len(act) * lat.N * 8 <= self.pair_table_budget:
+            from akmc_tpu.ops.pairwise import build_pair_table
+
+            self.tables = self.tables._replace(
+                pair_gT=build_pair_table(
+                    self.tables.pos, jnp.asarray(act), p.cutoff_radius,
+                    p.sigma, p.k,
+                    split_f32=jax.default_backend() not in ("cpu",),
+                )
+            )
+
         self.dia: Optional[DiaK] = None
         self.dia_meta = None
         self.banded: Optional[BandedK] = None
@@ -303,9 +330,14 @@ class VCMModel:
             kop, t, element, charge, potential_boundary_prev, Vd
         )
 
-        pot_pair, q_overflow = pairwise_potential(
-            t.pos, charge, p.cutoff_radius, p.sigma, p.k, qmax=self.qmax
-        )
+        if t.pair_gT is not None:
+            pot_pair, q_overflow = pairwise_potential_table(
+                t.pair_gT, t.abs2act, charge, self.qmax
+            )
+        else:
+            pot_pair, q_overflow = pairwise_potential(
+                t.pos, charge, p.cutoff_radius, p.sigma, p.k, qmax=self.qmax
+            )
         pot_sum = pot_pair + pot_boundary   # sum_AB_into_A (psg.cu:1130-1151)
 
         if self.rate_normalize:
@@ -632,9 +664,15 @@ class VCMModel:
                 return pot, cg.iterations
 
             def _phase_pair_rates(t, element, charge, pot_b, T_bg):
-                pot_pair, q_ovf = pairwise_potential(
-                    t.pos, charge, p.cutoff_radius, p.sigma, p.k, qmax=self.qmax
-                )
+                if t.pair_gT is not None:
+                    pot_pair, q_ovf = pairwise_potential_table(
+                        t.pair_gT, t.abs2act, charge, self.qmax
+                    )
+                else:
+                    pot_pair, q_ovf = pairwise_potential(
+                        t.pos, charge, p.cutoff_radius, p.sigma, p.k,
+                        qmax=self.qmax,
+                    )
                 pot_sum = pot_pair + pot_b
                 P, etype = build_event_table(
                     element, charge, pot_sum, T_bg,

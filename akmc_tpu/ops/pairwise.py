@@ -29,13 +29,24 @@ returns an overflow flag the host checks per superstep.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.scipy.special import erfc
 
 Q_E = 1.60217663e-19
+
+
+class PairTable(NamedTuple):
+    """Static (NP_pad, N) pairwise interaction table, in one of two storage
+    forms: ``full`` f64 (exact, parity backends) or ``hi``/``lo`` f32 planes
+    (dd-emulated TPU runtime — see pairwise_potential_table)."""
+
+    full: Optional[jax.Array] = None
+    hi: Optional[jax.Array] = None
+    lo: Optional[jax.Array] = None
 
 
 def pairwise_potential(
@@ -90,3 +101,118 @@ def pairwise_potential(
 
     out = lax.map(block, rows).reshape(npad)[:n]
     return out, n_charged > qmax
+
+
+def build_pair_table(
+    pos: jnp.ndarray,          # (N, 3) f64 [Angstrom]
+    poss_idx: jnp.ndarray,     # (NP,) int32 possibly-charged sites (static)
+    cutoff_radius: float,
+    sigma: float,
+    k: float,
+    row_block: int = 256,
+    split_f32: bool = False,
+) -> "PairTable":
+    """Static screened-Coulomb interaction table gT[(q, i)] = g(d_iq) for
+    every (possibly-charged site q, site i) pair, cutoff and self-exclusion
+    baked in as exact zeros. Returned with NP padded up to the block size
+    (pad rows all-zero).
+
+    Positions are static and charged sites are always drawn from the static
+    possibly-charged class, so the erfc/sqrt/divide plane of
+    ``pairwise_potential`` can be precomputed ONCE: the per-superstep solve
+    collapses to a (qmax, N) contiguous-row gather + one multiply-reduce
+    (measured on the chip: the on-the-fly 5 nm pairwise pass cost ~22 ms
+    device; the table apply is bandwidth-bound). The values are computed
+    with the same per-pair operations as the on-the-fly path; only the
+    q_val multiply is deferred to apply time (one reassociation — same
+    class of fp change as the compaction reorderings, golden-gated).
+
+    Memory: NP*N*8 bytes ((19969, 37650) -> 6.0 GB on the 5 nm device);
+    callers gate on a byte budget (VCMModel.pair_table_budget).
+    """
+    n = pos.shape[0]
+    dt = pos.dtype
+    np_rows = poss_idx.shape[0]
+    nblk = -(-np_rows // row_block)
+    pad = nblk * row_block - np_rows
+
+    # ONE jitted program for the whole build. Built eagerly, each op
+    # (lax.map, reshape) dispatches its own executable whose multi-GB output
+    # buffer coexists with the previous one — a 2x transient that left the
+    # 16 GB chip exhausted (measured). Under jit the reshape is metadata and
+    # exactly one output buffer materializes.
+    # Keep the block-padded row count: pad rows (pi=-1) are exact zeros and
+    # never gathered (site2col targets real rows only); slicing to np_rows
+    # would copy.
+    def _build(pos_a, poss_a):
+        inv_sig = 1.0 / (sigma * jnp.sqrt(jnp.asarray(2.0, dt)))
+        cut2 = jnp.asarray(cutoff_radius * cutoff_radius, dt)
+        kq = k * Q_E
+        pi = jnp.concatenate([poss_a, jnp.full(pad, -1, poss_a.dtype)])
+        site_ids = jnp.arange(n, dtype=jnp.int32)
+
+        def block(pi_blk):
+            q_pos = pos_a[pi_blk.clip(0)]              # (B, 3)
+            d2 = jnp.sum((q_pos[:, None, :] - pos_a[None, :, :]) ** 2, axis=-1)
+            valid = (d2 < cut2) & (pi_blk[:, None] != site_ids[None, :]) & (
+                pi_blk[:, None] >= 0
+            )
+            d = 1e-10 * jnp.sqrt(jnp.where(valid, d2, 1.0))
+            g = erfc(d * inv_sig) * kq / d
+            g = jnp.where(valid, g, 0.0)
+            if not split_f32:
+                return g
+            # hi/lo f32 split INSIDE the block: the full f64 table is never
+            # materialized. hi = f32 round of g; lo = the exact residual
+            # (f32-representable: on the dd-emulated backend g IS a
+            # normalized (hi, lo) pair, and the rounding correction stays
+            # within one f32 ulp — Sterbenz).
+            hi = g.astype(jnp.float32)
+            lo = (g - hi.astype(dt)).astype(jnp.float32)
+            return hi, lo
+
+        out = lax.map(block, pi.reshape(nblk, row_block))
+        if not split_f32:
+            return PairTable(full=out.reshape(nblk * row_block, n))
+        hi, lo = out
+        return PairTable(
+            hi=hi.reshape(nblk * row_block, n),
+            lo=lo.reshape(nblk * row_block, n),
+        )
+
+    return jax.jit(_build)(pos, poss_idx)
+
+
+def pairwise_potential_table(
+    pt: "PairTable",           # static interaction table (full f64 OR hi/lo f32)
+    site2col: jnp.ndarray,     # (N,) int32 site -> table row (abs2act works:
+    #                            charged sites are always active-class rows)
+    charge: jnp.ndarray,       # (N,) int32
+    qmax: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Table-based pairwise solve: identical pair set / distances / erfc
+    values as ``pairwise_potential`` (same ops at build time), same charged
+    compaction order, same (N, Q) axis-1 reduction orientation.
+
+    ``full`` storage keeps the exact f64 values (parity backends). ``hi/lo``
+    f32 storage is for the dd-emulated TPU runtime, whose X64-rewrite pass
+    otherwise materializes TWO extra f32 half-tables per executable for an
+    f64 parameter (measured: 5.69 + 2*2.84 GB for the 6 GB table — OOM);
+    the split arrays pass through natively and only the gathered (Q, N)
+    rows are reconstructed to f64."""
+    first = pt.full if pt.full is not None else pt.hi
+    np_rows = first.shape[0]
+    dt = jnp.float64 if pt.full is None else pt.full.dtype
+    charged = charge != 0
+    n_charged = jnp.sum(charged)
+    q_idx = jnp.nonzero(charged, size=qmax, fill_value=-1)[0].astype(jnp.int32)
+    qv = q_idx >= 0
+    qi = q_idx.clip(0)
+    q_val = jnp.where(qv, charge[qi], 0).astype(dt)
+    cols = site2col[qi].clip(0, np_rows - 1)
+    if pt.full is not None:
+        rows = pt.full[cols]                           # (Q, N) contiguous rows
+    else:
+        rows = pt.hi[cols].astype(dt) + pt.lo[cols].astype(dt)
+    pot = jnp.sum(rows.T * q_val[None, :], axis=1)     # (N, Q) -> (N,)
+    return pot, n_charged > qmax

@@ -79,8 +79,18 @@ def shard_model(model, mesh: Mesh):
         **{
             n: jax.device_put(getattr(t, n), rep)
             for n in t._fields
-            if n not in _ROW_SHARDED
+            if n not in _ROW_SHARDED and n != "pair_gT"
         },
+        # the (NP, N) pairwise table shards over its SITE axis (columns):
+        # charged-row gathers stay local slices, the multiply-reduce output
+        # is row-sharded like every other per-site product
+        pair_gT=(
+            None
+            if t.pair_gT is None
+            else jax.device_put(
+                t.pair_gT, NamedSharding(mesh, P(None, SITE_AXIS))
+            )
+        ),
     )
     if getattr(model, "banded", None) is not None:
         bk = model.banded
@@ -183,8 +193,10 @@ class ConcernGroups:
         self._k_jit = jax.jit(_k_side)
         self._pair_jit = jax.jit(_pair_side)
 
-        # each group holds its own replicated copy of the (static) tables
-        t = model.tables
+        # each group holds its own replicated copy of the (static) tables;
+        # the optional multi-GB pairwise table is dropped (the pair group
+        # computes on the fly — identical semantics, no 2x replication)
+        t = model.tables._replace(pair_gT=None)
         self._t_k = jax.tree.map(
             lambda a: jax.device_put(a, replicated(self.mesh_k)), t
         )

@@ -297,6 +297,50 @@ def test_pairwise_vs_oracle(toy):
     assert np.abs(got).max() > 0
 
 
+def test_pairwise_table_matches_on_the_fly(toy):
+    """The static (NP, N) interaction table path must reproduce the
+    on-the-fly pairwise solve on the same charged set (same pair set, same
+    distances/erfc values; only one q_val multiply reassociates)."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.ops.pairwise import (
+        build_pair_table,
+        pairwise_potential,
+        pairwise_potential_table,
+    )
+
+    p, lat = toy
+    charge = np.zeros(lat.N, np.int32)
+    charge[lat.element0 == int(ELEM.VACANCY)] = 2
+    charge[lat.element0 == int(ELEM.OXYGEN_DEFECT)] = -2
+
+    poss = np.isin(
+        lat.element0,
+        [int(ELEM.DEFECT), int(ELEM.O), int(ELEM.VACANCY), int(ELEM.OXYGEN_DEFECT)],
+    )
+    poss_idx = np.nonzero(poss)[0].astype(np.int32)
+    site2col = np.full(lat.N, len(poss_idx) - 1, np.int32)
+    site2col[poss_idx] = np.arange(len(poss_idx), dtype=np.int32)
+
+    pos = jnp.asarray(np.stack([lat.x, lat.y, lat.z], 1))
+    gT = build_pair_table(pos, jnp.asarray(poss_idx), p.cutoff_radius, p.sigma, p.k)
+    got_t, ovf_t = pairwise_potential_table(
+        gT, jnp.asarray(site2col), jnp.asarray(charge), qmax=64
+    )
+    want_f, ovf_f = pairwise_potential(
+        pos, jnp.asarray(charge), p.cutoff_radius, p.sigma, p.k, qmax=64
+    )
+    assert not bool(ovf_t) and not bool(ovf_f)
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(want_f), rtol=1e-13, atol=1e-18
+    )
+    # overflow flag parity
+    ovf = pairwise_potential_table(
+        gT, jnp.asarray(site2col), jnp.asarray(charge), qmax=4
+    )[1]
+    assert bool(ovf)
+
+
 def _rate_oracle(p, lat, element, charge, potential, T_bg):
     """build_event_list_split oracle (kmc_events.cu:130-229)."""
     n, nn = lat.neigh_idx.shape
@@ -389,3 +433,40 @@ def test_charge_update_compact_matches_full(toy):
         jnp.asarray(lat.neigh_idx), jnp.asarray(any_metal), vmax=64,
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pairwise_table_split_f32_round_trip(toy):
+    """hi/lo f32 storage (TPU dd-emulation workaround) must reconstruct the
+    f64 table to ~2^-48 relative (the dd precision class) and produce the
+    same potentials within CG-tolerance slack."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.ops.pairwise import (
+        build_pair_table,
+        pairwise_potential_table,
+    )
+
+    p, lat = toy
+    charge = np.zeros(lat.N, np.int32)
+    charge[lat.element0 == int(ELEM.VACANCY)] = 2
+    charge[lat.element0 == int(ELEM.OXYGEN_DEFECT)] = -2
+    poss_idx = np.nonzero(
+        np.isin(
+            lat.element0,
+            [int(ELEM.DEFECT), int(ELEM.O), int(ELEM.VACANCY), int(ELEM.OXYGEN_DEFECT)],
+        )
+    )[0].astype(np.int32)
+    site2col = np.full(lat.N, len(poss_idx) - 1, np.int32)
+    site2col[poss_idx] = np.arange(len(poss_idx), dtype=np.int32)
+
+    pos = jnp.asarray(np.stack([lat.x, lat.y, lat.z], 1))
+    args = (pos, jnp.asarray(poss_idx), p.cutoff_radius, p.sigma, p.k)
+    full = build_pair_table(*args)
+    split = build_pair_table(*args, split_f32=True)
+    rec = np.asarray(split.hi, np.float64) + np.asarray(split.lo, np.float64)
+    np.testing.assert_allclose(
+        rec, np.asarray(full.full), rtol=4e-15, atol=1e-300
+    )
+    got_s = pairwise_potential_table(split, jnp.asarray(site2col), jnp.asarray(charge), 64)[0]
+    got_f = pairwise_potential_table(full, jnp.asarray(site2col), jnp.asarray(charge), 64)[0]
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(got_f), rtol=1e-12, atol=1e-18)
