@@ -30,7 +30,11 @@ from akmc_tpu.ops.events import (
     run_event_loop,
     run_event_loop_native,
 )
-from akmc_tpu.ops.pairwise import pairwise_potential, pairwise_potential_table
+from akmc_tpu.ops.pairwise import (
+    pairwise_potential,
+    pairwise_potential_table,
+    pairwise_potential_tiled,
+)
 from akmc_tpu.rng import ReferenceRNG
 from akmc_tpu.solvers.current import (
     CurrentTables,
@@ -89,8 +93,12 @@ class StaticTables(NamedTuple):
     # optional static pairwise interaction table (pairwise.PairTable,
     # full-f64 or hi/lo-f32 storage): present when NP*N*8 fits
     # pair_table_budget — collapses the per-superstep pairwise solve to a
-    # row gather + multiply-reduce. None => on-the-fly pairwise_potential.
+    # row gather + multiply-reduce. None => tiled or on-the-fly path.
     pair_gT: Optional[object] = None
+    # optional spatial tiling (pairwise.PairTiling) for structures too large
+    # for the table: per-tile charged-candidate compaction shrinks the erfc
+    # plane ~30x (measured 5.96 s -> sub-second at crossbar scale).
+    pair_tiling: Optional[object] = None
 
 
 class FieldsResult(NamedTuple):
@@ -103,6 +111,8 @@ class FieldsResult(NamedTuple):
     q_overflow: jax.Array           # charged count exceeded the static cap
     v_overflow: jax.Array           # vacancy count exceeded the static cap
     ln_S: object = None             # log rate scale (shifted-exponent mode)
+    c_overflow: object = None       # tiled pairwise: per-tile candidate cap
+    #                                 exceeded (None on non-tiled paths)
 
 
 @dataclass
@@ -130,8 +140,15 @@ class VCMModel:
     pair_table_budget: float = 8e9  # bytes: build the static (NP, N)
                                     # pairwise interaction table when it fits
                                     # (5 nm: 6.0 GB; crossbar scales exceed
-                                    # it and keep the on-the-fly path). 0
-                                    # disables.
+                                    # it and fall back to the tiled or
+                                    # on-the-fly path). 0 disables.
+    pair_cand_cap: Optional[int] = None  # tiled path: static per-tile
+                                    # charged-candidate cap; None = sized
+                                    # from the initial charged population
+                                    # with 1.5x headroom; doubled +
+                                    # re-jitted on overflow (diag slot 7)
+    pair_tiling_min_n: int = 100_000  # build the tiling when the table
+                                    # does not fit and N is at least this
 
     tables: StaticTables = field(init=False)
 
@@ -256,6 +273,37 @@ class VCMModel:
                     split_f32=jax.default_backend() not in ("cpu",),
                 )
             )
+        self._pair_r_tile = None
+        if self.tables.pair_gT is None and lat.N >= self.pair_tiling_min_n:
+            from akmc_tpu.ops.pairwise import build_pair_tiling
+
+            # tile edge = cutoff/2: measured sweep at 1.08M slots — plane
+            # 0.52G pairs vs 0.95G at edge=cutoff, with a (T, qmax) top_k
+            # still small (52M)
+            tiling, r_tile = build_pair_tiling(
+                pos_np, p.cutoff_radius, tile_edge=p.cutoff_radius / 2.0
+            )
+            self.tables = self.tables._replace(pair_tiling=tiling)
+            self._pair_r_tile = r_tile
+            if self.pair_cand_cap is None:
+                # size the per-tile candidate cap from the initial charged
+                # population (superset: every V/Od before charge rules)
+                q0 = np.isin(
+                    lat.element0,
+                    [int(ELEM.VACANCY), int(ELEM.OXYGEN_DEFECT)],
+                )
+                cen = np.asarray(tiling.tile_center)
+                reach = p.cutoff_radius + r_tile
+                if q0.any():
+                    d2q = (
+                        (cen[:, None, :] - pos_np[q0][None, :, :]) ** 2
+                    ).sum(-1)
+                    mx = int((d2q < reach * reach).sum(axis=1).max())
+                else:
+                    mx = 0
+                self.pair_cand_cap = _round_up(max(64, int(1.5 * mx)), 64)
+        if self.pair_cand_cap is None:
+            self.pair_cand_cap = 256
 
         self.dia: Optional[DiaK] = None
         self.dia_meta = None
@@ -330,9 +378,16 @@ class VCMModel:
             kop, t, element, charge, potential_boundary_prev, Vd
         )
 
+        c_overflow = jnp.asarray(False)
         if t.pair_gT is not None:
             pot_pair, q_overflow = pairwise_potential_table(
                 t.pair_gT, t.abs2act, charge, self.qmax
+            )
+        elif t.pair_tiling is not None:
+            pot_pair, q_overflow, c_overflow = pairwise_potential_tiled(
+                t.pair_tiling, self._pair_r_tile, t.pos, charge,
+                p.cutoff_radius, p.sigma, p.k, qmax=self.qmax,
+                cand_cap=self.pair_cand_cap,
             )
         else:
             pot_pair, q_overflow = pairwise_potential(
@@ -365,12 +420,18 @@ class VCMModel:
             q_overflow=q_overflow,
             v_overflow=v_overflow,
             ln_S=ln_S,
+            c_overflow=c_overflow,
         )
 
     @staticmethod
     def _pack_diag(fr, res):
         # ONE scalar-diagnostics vector: each separate host pull costs a
         # full dispatch round trip on tunneled runtimes
+        c_ovf = (
+            jnp.asarray(0.0)
+            if fr.c_overflow is None
+            else fr.c_overflow.astype(jnp.float64)
+        )
         return jnp.stack([
             res.n_events.astype(jnp.float64),
             res.draws_used.astype(jnp.float64),
@@ -379,6 +440,7 @@ class VCMModel:
             fr.cg_iterations.astype(jnp.float64),
             fr.q_overflow.astype(jnp.float64),
             fr.v_overflow.astype(jnp.float64),
+            c_ovf,
         ])
 
     def _loop_arrays(self, t: StaticTables, P, etype):
@@ -494,13 +556,15 @@ class VCMModel:
         fr, res, diag = self._run_step(state, Vd, rand_buf)
         d = np.asarray(diag)
 
-        while d[5] != 0.0 or d[6] != 0.0:   # q_overflow / v_overflow
+        while d[5] != 0.0 or d[6] != 0.0 or d[7] != 0.0:
             # grow the exceeded cap(s) and re-trace (rare: the defect
             # population roughly doubled since model construction)
             if d[5] != 0.0:
                 self.qmax *= 2
             if d[6] != 0.0:
                 self.vmax *= 2
+            if d[7] != 0.0:                 # tiled-pairwise candidate cap
+                self.pair_cand_cap *= 2
             self._invalidate_jits()
             fr, res, diag = self._run_step(state, Vd, rand_buf)
             d = np.asarray(diag)
@@ -609,8 +673,13 @@ class VCMModel:
             self.tables, self.kop, state.element, state.charge,
             state.potential_boundary, state.T_bg, Vd, rand_buf, k, rand_chunk,
         )
-        d = np.asarray(diag)                     # (k, 7) one batched pull
-        if (d[:, 3] == 0.0).any() or (d[:, 5] != 0.0).any() or (d[:, 6] != 0.0).any():
+        d = np.asarray(diag)                     # (k, 8) one batched pull
+        if (
+            (d[:, 3] == 0.0).any()
+            or (d[:, 5] != 0.0).any()
+            or (d[:, 6] != 0.0).any()
+            or (d[:, 7] != 0.0).any()
+        ):
             # exhaustion/overflow inside the batch: replay sequentially (the
             # single-step path grows the caps and invalidates this cache)
             stats_list = []
@@ -667,6 +736,12 @@ class VCMModel:
                 if t.pair_gT is not None:
                     pot_pair, q_ovf = pairwise_potential_table(
                         t.pair_gT, t.abs2act, charge, self.qmax
+                    )
+                elif t.pair_tiling is not None:
+                    pot_pair, q_ovf, _ = pairwise_potential_tiled(
+                        t.pair_tiling, self._pair_r_tile, t.pos, charge,
+                        p.cutoff_radius, p.sigma, p.k, qmax=self.qmax,
+                        cand_cap=self.pair_cand_cap,
                     )
                 else:
                     pot_pair, q_ovf = pairwise_potential(
@@ -776,13 +851,15 @@ class VCMModel:
             state.potential_boundary, state.T_bg, Vd, key,
         )
         d = np.asarray(diag)
-        if d[5] != 0.0 or d[6] != 0.0:
+        if d[5] != 0.0 or d[6] != 0.0 or d[7] != 0.0:
             # grow cap(s) + re-trace; the input key deterministically
             # reproduces the same draws on replay
             if d[5] != 0.0:
                 self.qmax *= 2
             if d[6] != 0.0:
                 self.vmax *= 2
+            if d[7] != 0.0:
+                self.pair_cand_cap *= 2
             self._invalidate_jits()
             return self.superstep_native(state, Vd, key_in)
         new_state = state._replace(
@@ -905,11 +982,14 @@ class VCMModel:
         (perturb_structure=0: "turn off to only calculate fields",
         kmc_main.cpp:484 / parameters.txt comment)."""
         fr = self._run_fields(state, Vd)
-        if bool(np.asarray(fr.q_overflow)) or bool(np.asarray(fr.v_overflow)):
+        c_ovf = fr.c_overflow is not None and bool(np.asarray(fr.c_overflow))
+        if bool(np.asarray(fr.q_overflow)) or bool(np.asarray(fr.v_overflow)) or c_ovf:
             if bool(np.asarray(fr.q_overflow)):
                 self.qmax *= 2
             if bool(np.asarray(fr.v_overflow)):
                 self.vmax *= 2
+            if c_ovf:
+                self.pair_cand_cap *= 2
             self._invalidate_jits()
             return self.fields_only(state, Vd)
         new_state = state._replace(
@@ -983,6 +1063,11 @@ class VCMModel:
     # post-events position).
     # ------------------------------------------------------------------
     def _pack_diag_full(self, fr, res, pw_ovf, I_macro, T_new, pow_iters, P_tot):
+        c_ovf = (
+            jnp.asarray(0.0)
+            if fr.c_overflow is None
+            else fr.c_overflow.astype(jnp.float64)
+        )
         return jnp.concatenate([
             self._pack_diag(fr, res)[:6],
             jnp.stack([
@@ -991,6 +1076,7 @@ class VCMModel:
                 T_new,
                 pow_iters.astype(jnp.float64),
                 P_tot,
+                c_ovf,
             ]),
         ])
 
@@ -1048,11 +1134,13 @@ class VCMModel:
             state.T_bg, m_prev, Vd, rand_buf,
         )
         d = np.asarray(diag)
-        if d[5] != 0.0 or d[6] != 0.0:
+        if d[5] != 0.0 or d[6] != 0.0 or d[11] != 0.0:
             if d[5] != 0.0:
                 self.qmax *= 2
             if d[6] != 0.0:
                 self.vmax *= 2
+            if d[11] != 0.0:
+                self.pair_cand_cap *= 2
             self._invalidate_jits()
             return self.superstep_full(state, Vd, stream, m_prev, rand_chunk)
         if d[3] == 0.0:
@@ -1129,8 +1217,13 @@ class VCMModel:
             state.potential_boundary, state.cb_edge, state.temperature,
             state.T_bg, m_prev, Vd, rand_buf,
         )
-        d = np.asarray(diag)                     # (k, 11)
-        if (d[:, 3] == 0.0).any() or (d[:, 5] != 0.0).any() or (d[:, 6] != 0.0).any():
+        d = np.asarray(diag)                     # (k, 12)
+        if (
+            (d[:, 3] == 0.0).any()
+            or (d[:, 5] != 0.0).any()
+            or (d[:, 6] != 0.0).any()
+            or (d[:, 11] != 0.0).any()
+        ):
             stats_list = []
             for _ in range(k):
                 state, stats, m_prev = self.superstep_full(

@@ -39,6 +39,23 @@ from jax.scipy.special import erfc
 Q_E = 1.60217663e-19
 
 
+class PairTiling(NamedTuple):
+    """Static spatial tiling for the tiled pairwise solve (crossbar scale,
+    where neither the on-the-fly (N, qmax) plane — measured 5.96 s/superstep
+    at N=1.08M, qmax=8960 — nor the (NP, N) table fits).
+
+    Sites are binned into cubic tiles of edge ~cutoff; per superstep each
+    tile gets a compacted list of the charged sites within reach
+    (cutoff + tile circumradius), and the erfc plane shrinks from
+    (N, qmax) to (T, S, C) with C ~ tens-hundreds — the same pair set
+    beyond the cutoff filter, so the result equals the on-the-fly solve up
+    to summation order."""
+
+    tile_sites: jax.Array    # (T, S) int32 site ids, -1 pad
+    pos_tiles: jax.Array     # (T, S, 3) site positions (pad -> 1e30)
+    tile_center: jax.Array   # (T, 3) tile centers
+
+
 class PairTable(NamedTuple):
     """Static (NP_pad, N) pairwise interaction table, in one of two storage
     forms: ``full`` f64 (exact, parity backends) or ``hi``/``lo`` f32 planes
@@ -216,3 +233,142 @@ def pairwise_potential_table(
         rows = pt.hi[cols].astype(dt) + pt.lo[cols].astype(dt)
     pot = jnp.sum(rows.T * q_val[None, :], axis=1)     # (N, Q) -> (N,)
     return pot, n_charged > qmax
+
+
+def build_pair_tiling(
+    pos: np.ndarray,           # (N, 3) f64 [Angstrom], host
+    cutoff_radius: float,
+    tile_edge: float = None,
+) -> Tuple[PairTiling, float]:
+    """Host-side tile construction. Returns (tiling, r_tile) where r_tile is
+    the tile circumradius (static float — bake it into the jit)."""
+    import numpy as _np
+
+    h = float(tile_edge if tile_edge is not None else cutoff_radius)
+    mins = pos.min(axis=0)
+    idx3 = _np.floor((pos - mins) / h).astype(_np.int64)
+    dims = idx3.max(axis=0) + 1
+    tid = (idx3[:, 0] * dims[1] + idx3[:, 1]) * dims[2] + idx3[:, 2]
+    uniq, inv = _np.unique(tid, return_inverse=True)
+    T = len(uniq)
+    order = _np.argsort(inv, kind="stable")
+    counts = _np.bincount(inv, minlength=T)
+    S = int(counts.max())
+    tile_sites = _np.full((T, S), -1, _np.int32)
+    col = _np.concatenate([_np.arange(c) for c in counts])
+    tile_sites[inv[order], col] = order.astype(_np.int32)
+    pos_tiles = _np.where(
+        (tile_sites >= 0)[:, :, None], pos[tile_sites.clip(0)], 1e30
+    )
+    # centers of the occupied tiles, in the same grid frame
+    t3 = _np.stack(
+        [uniq // (dims[1] * dims[2]), (uniq // dims[2]) % dims[1], uniq % dims[2]],
+        axis=1,
+    )
+    centers = mins[None, :] + (t3 + 0.5) * h
+    r_tile = h * float(_np.sqrt(3.0)) / 2.0
+    return (
+        PairTiling(
+            tile_sites=jnp.asarray(tile_sites),
+            pos_tiles=jnp.asarray(pos_tiles),
+            tile_center=jnp.asarray(centers),
+        ),
+        r_tile,
+    )
+
+
+def pairwise_potential_tiled(
+    tiling: PairTiling,
+    r_tile: float,             # static tile circumradius [Angstrom]
+    pos: jnp.ndarray,          # (N, 3) f64 (charged-site position source)
+    charge: jnp.ndarray,       # (N,) int32
+    cutoff_radius: float,
+    sigma: float,
+    k: float,
+    qmax: int,
+    cand_cap: int,             # static per-tile candidate cap (host-grown
+    #                            on overflow like qmax)
+    tile_block: int = None,
+    plane_budget: int = 512 * 1024 * 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns ((N,) potential, q_overflow, cand_overflow).
+
+    Same pair set as ``pairwise_potential`` (the extra tile filter only
+    removes pairs beyond the cutoff); per-site summation order follows the
+    per-tile candidate list instead of the global charged list, so values
+    agree to summation-order reassociation (oracle-tested)."""
+    n = pos.shape[0]
+    dt = pos.dtype
+    T, S = tiling.tile_sites.shape
+
+    charged = charge != 0
+    n_charged = jnp.sum(charged)
+    q_idx = jnp.nonzero(charged, size=qmax, fill_value=-1)[0].astype(jnp.int32)
+    qv = q_idx >= 0
+    qi = q_idx.clip(0)
+    q_pos = pos[qi]                                    # (Q, 3)
+    q_val = jnp.where(qv, charge[qi], 0).astype(dt)
+
+    inv_sig = 1.0 / (sigma * jnp.sqrt(jnp.asarray(2.0, dt)))
+    cut2 = jnp.asarray(cutoff_radius * cutoff_radius, dt)
+    kq = k * Q_E
+
+    # (T, Q) reach filter -> per-tile top-C candidate compaction (top_k on
+    # the 0/1 mask is index-stable, so candidates keep q-list order)
+    reach = cutoff_radius + r_tile
+    d2c = jnp.sum(
+        (tiling.tile_center[:, None, :] - q_pos[None, :, :]) ** 2, axis=-1
+    )
+    cand_mask = (d2c < reach * reach) & qv[None, :]
+    cand_overflow = jnp.max(jnp.sum(cand_mask, axis=1)) > cand_cap
+    mvals, candq = jax.lax.top_k(cand_mask.astype(jnp.int32), cand_cap)
+    sel = mvals > 0                                    # (T, C)
+    q_posc = q_pos[candq]                              # (T, C, 3)
+    q_valc = jnp.where(sel, q_val[candq], 0.0)
+    q_sitec = jnp.where(sel, q_idx[candq], -1)         # absolute site ids
+
+    if tile_block is None:
+        tile_block = (
+            T if T * S * cand_cap * 8 <= plane_budget
+            else max(1, plane_budget // (S * cand_cap * 8))
+        )
+    nblk = -(-T // tile_block)
+
+    def block(a):
+        ts, ptile, qp, qw, qs = a
+        d2 = jnp.sum(
+            (ptile[:, :, None, :] - qp[:, None, :, :]) ** 2, axis=-1
+        )                                              # (B, S, C)
+        valid = (
+            (d2 < cut2)
+            & (ts[:, :, None] != qs[:, None, :])
+            & (qs[:, None, :] >= 0)
+        )
+        d = 1e-10 * jnp.sqrt(jnp.where(valid, d2, 1.0))
+        v = qw[:, None, :] * erfc(d * inv_sig) * kq / d
+        return jnp.sum(jnp.where(valid, v, 0.0), axis=2)   # (B, S)
+
+    def pad_blk(a, fill):
+        extra = nblk * tile_block - a.shape[0]
+        if extra == 0:
+            return a.reshape((nblk, tile_block) + a.shape[1:])
+        pad_widths = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad_widths, constant_values=fill).reshape(
+            (nblk, tile_block) + a.shape[1:]
+        )
+
+    vals = lax.map(
+        block,
+        (
+            pad_blk(tiling.tile_sites, -1),
+            pad_blk(tiling.pos_tiles, 1e30),
+            pad_blk(q_posc, 0.0),
+            pad_blk(q_valc, 0.0),
+            pad_blk(q_sitec, -1),
+        ),
+    ).reshape(nblk * tile_block, S)[:T]
+
+    pot = jnp.zeros(n, dt).at[tiling.tile_sites.clip(0)].add(
+        jnp.where(tiling.tile_sites >= 0, vals, 0.0)
+    )
+    return pot, n_charged > qmax, cand_overflow

@@ -79,7 +79,7 @@ def shard_model(model, mesh: Mesh):
         **{
             n: jax.device_put(getattr(t, n), rep)
             for n in t._fields
-            if n not in _ROW_SHARDED and n != "pair_gT"
+            if n not in _ROW_SHARDED and n not in ("pair_gT", "pair_tiling")
         },
         # the (NP, N) pairwise table shards over its SITE axis (columns):
         # charged-row gathers stay local slices, the multiply-reduce output
@@ -89,6 +89,19 @@ def shard_model(model, mesh: Mesh):
             if t.pair_gT is None
             else jax.device_put(
                 t.pair_gT, NamedSharding(mesh, P(None, SITE_AXIS))
+            )
+        ),
+        # the tiled-pairwise tables shard over the TILE axis when it
+        # divides the mesh (per-tile planes are independent); replicated
+        # otherwise (they are O(N) ints + positions, small)
+        pair_tiling=(
+            None
+            if t.pair_tiling is None
+            else jax.device_put(
+                t.pair_tiling,
+                rs
+                if t.pair_tiling.tile_sites.shape[0] % mesh.size == 0
+                else rep,
             )
         ),
     )
@@ -196,7 +209,7 @@ class ConcernGroups:
         # each group holds its own replicated copy of the (static) tables;
         # the optional multi-GB pairwise table is dropped (the pair group
         # computes on the fly — identical semantics, no 2x replication)
-        t = model.tables._replace(pair_gT=None)
+        t = model.tables._replace(pair_gT=None, pair_tiling=None)
         self._t_k = jax.tree.map(
             lambda a: jax.device_put(a, replicated(self.mesh_k)), t
         )

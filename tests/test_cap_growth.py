@@ -114,3 +114,33 @@ def test_update_power_grows_vmax(toy):
     _, I_s, _, _ = small.update_power(state, 2.0)
     assert small.vmax > 8
     assert I_s == pytest.approx(I_r, rel=1e-12)
+
+
+def test_tiled_pairwise_superstep_matches_and_grows(toy):
+    """A model forced onto the tiled-pairwise path (crossbar-scale
+    production path) must reproduce the default-path event trajectory, and
+    an undersized per-tile candidate cap must be detected (diag slot 7),
+    grown, and replayed — not silently truncated."""
+    p, lat = toy
+
+    def run(**kw):
+        model = VCMModel(p, lat, **kw)
+        return model, *_run_multi(model, p, lat)
+
+    _, s_ref, st_ref = run()                       # table path (default)
+    m_t, s_t, st_t = run(pair_table_budget=0, pair_tiling_min_n=1)
+    assert m_t.tables.pair_tiling is not None
+    m_g, s_g, st_g = run(
+        pair_table_budget=0, pair_tiling_min_n=1, pair_cand_cap=2
+    )
+    assert m_g.pair_cand_cap > 2                   # grew on overflow
+
+    for st in (st_t, st_g):
+        assert [s["n_events"] for s in st] == [s["n_events"] for s in st_ref]
+    for s in (s_t, s_g):
+        np.testing.assert_array_equal(
+            np.asarray(s.element), np.asarray(s_ref.element)
+        )
+        np.testing.assert_allclose(
+            float(s.kmc_time), float(s_ref.kmc_time), rtol=1e-12
+        )

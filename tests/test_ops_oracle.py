@@ -470,3 +470,47 @@ def test_pairwise_table_split_f32_round_trip(toy):
     got_s = pairwise_potential_table(split, jnp.asarray(site2col), jnp.asarray(charge), 64)[0]
     got_f = pairwise_potential_table(full, jnp.asarray(site2col), jnp.asarray(charge), 64)[0]
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(got_f), rtol=1e-12, atol=1e-18)
+
+
+def test_pairwise_tiled_matches_on_the_fly(toy):
+    """The tiled pairwise solve (crossbar-scale path) must reproduce the
+    on-the-fly solve: same pair set (the tile filter only removes pairs
+    beyond the cutoff), summation-order differences only. Also checks the
+    candidate-cap overflow flag."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.ops.pairwise import (
+        build_pair_tiling,
+        pairwise_potential,
+        pairwise_potential_tiled,
+    )
+
+    p, lat = toy
+    charge = np.zeros(lat.N, np.int32)
+    charge[lat.element0 == int(ELEM.VACANCY)] = 2
+    charge[lat.element0 == int(ELEM.OXYGEN_DEFECT)] = -2
+
+    pos_np = np.stack([lat.x, lat.y, lat.z], 1)
+    pos = jnp.asarray(pos_np)
+    # small tile edge so the toy structure spans MULTIPLE tiles
+    tiling, r_tile = build_pair_tiling(pos_np, p.cutoff_radius, tile_edge=4.0)
+    assert tiling.tile_sites.shape[0] > 1
+    got, q_ovf, c_ovf = pairwise_potential_tiled(
+        tiling, r_tile, pos, jnp.asarray(charge),
+        p.cutoff_radius, p.sigma, p.k, qmax=64, cand_cap=64,
+    )
+    want, _ = pairwise_potential(
+        pos, jnp.asarray(charge), p.cutoff_radius, p.sigma, p.k, qmax=64
+    )
+    assert not bool(q_ovf) and not bool(c_ovf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-18)
+    assert np.abs(np.asarray(got)).max() > 0
+
+    # candidate-cap overflow must raise the flag
+    n_charged = int((charge != 0).sum())
+    assert n_charged > 2
+    _, _, c_ovf2 = pairwise_potential_tiled(
+        tiling, r_tile, pos, jnp.asarray(charge),
+        p.cutoff_radius, p.sigma, p.k, qmax=64, cand_cap=2,
+    )
+    assert bool(c_ovf2)

@@ -187,3 +187,37 @@ def test_concern_group_split_matches_sequential():
     )
     assert int(cg_iters) > 0
     assert not bool(np.asarray(q_ovf))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_tiled_pairwise_matches_single_device():
+    """The tiled-pairwise path (the crossbar-scale production config) must
+    shard: tile tables row-sharded over the tile axis (or replicated when
+    indivisible), identical event trajectory to the single-device run."""
+    p, lat = _padded_toy(8)
+
+    def run(n_dev):
+        model = VCMModel(p, lat, pair_table_budget=0, pair_tiling_min_n=1)
+        assert model.tables.pair_tiling is not None
+        state = make_device_state(lat, p.background_temp)
+        stream = BufferedStream(ReferenceRNG(1))
+        if n_dev > 1:
+            mesh = make_mesh(n_dev)
+            shard_model(model, mesh)
+            state = replicate_state(state, mesh)
+        out = []
+        for _ in range(3):
+            state, stats = model.superstep(state, 2.0, stream)
+            out.append(stats["n_events"])
+        return state, out
+
+    s1, ev1 = run(1)
+    s8, ev8 = run(8)
+    assert ev1 == ev8
+    np.testing.assert_array_equal(np.asarray(s1.element), np.asarray(s8.element))
+    np.testing.assert_allclose(
+        np.asarray(s1.potential_charge),
+        np.asarray(s8.potential_charge),
+        rtol=1e-6, atol=1e-6,
+    )
+    assert float(s1.kmc_time) == pytest.approx(float(s8.kmc_time), rel=1e-9)
