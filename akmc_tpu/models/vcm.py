@@ -733,12 +733,13 @@ class VCMModel:
                 return pot, cg.iterations
 
             def _phase_pair_rates(t, element, charge, pot_b, T_bg):
+                c_ovf = jnp.asarray(False)
                 if t.pair_gT is not None:
                     pot_pair, q_ovf = pairwise_potential_table(
                         t.pair_gT, t.abs2act, charge, self.qmax
                     )
                 elif t.pair_tiling is not None:
-                    pot_pair, q_ovf, _ = pairwise_potential_tiled(
+                    pot_pair, q_ovf, c_ovf = pairwise_potential_tiled(
                         t.pair_tiling, self._pair_r_tile, t.pos, charge,
                         p.cutoff_radius, p.sigma, p.k, qmax=self.qmax,
                         cand_cap=self.pair_cand_cap,
@@ -755,7 +756,7 @@ class VCMModel:
                     t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
                     p.freq, p.sigma, p.k, rows=t.act_idx,
                 )
-                return pot_sum, P, etype, q_ovf
+                return pot_sum, P, etype, q_ovf, c_ovf
 
             self._timed_jits = {
                 "charge": jax.jit(_phase_charge),
@@ -781,11 +782,14 @@ class VCMModel:
             self._timed_jits["boundary"], t, self.kop, state.element,
             charge, state.potential_boundary, Vd,
         )
-        (pot_sum, P, etype, q_ovf), dt_pair = timed(
+        (pot_sum, P, etype, q_ovf, c_ovf), dt_pair = timed(
             self._timed_jits["pair"], t, state.element, charge, pot_b, state.T_bg
         )
-        if bool(np.asarray(q_ovf)):
-            self.qmax *= 2
+        if bool(np.asarray(q_ovf)) or bool(np.asarray(c_ovf)):
+            if bool(np.asarray(q_ovf)):
+                self.qmax *= 2
+            if bool(np.asarray(c_ovf)):
+                self.pair_cand_cap *= 2
             self._invalidate_jits()
             del self._timed_jits
             return self.superstep_timed(state, Vd, stream, rand_chunk)
