@@ -270,7 +270,8 @@ class VCMModel:
                 pair_gT=build_pair_table(
                     self.tables.pos, jnp.asarray(act), p.cutoff_radius,
                     p.sigma, p.k,
-                    split_f32=jax.default_backend() not in ("cpu",),
+                    split_f32=jax.default_backend()
+                    not in ("cpu", "gpu", "cuda", "rocm"),
                 )
             )
         self._pair_r_tile = None
@@ -507,7 +508,8 @@ class VCMModel:
             state.potential_boundary, state.T_bg, Vd,
         )
 
-    def _events(self, t: StaticTables, element, charge, P, etype, rand_buf, event_time_in):
+    def _events(self, t: StaticTables, element, charge, P, etype, rand_buf,
+                event_time_in, ln_S=None):
         P, etype, neigh = self._loop_arrays(t, P, etype)
         return run_event_loop(
             element,
@@ -520,6 +522,7 @@ class VCMModel:
             event_time_in=event_time_in,
             act_idx=t.act_idx,
             abs2act=t.abs2act,
+            ln_S=ln_S,
         )
 
     def _cb(self, t: StaticTables, element, charge, cb_prev, Vd):
@@ -581,7 +584,8 @@ class VCMModel:
             # events-only chunks
             rand_buf = jnp.asarray(stream.peek(rand_chunk))
             res = self._events_jit(
-                self.tables, element, charge, P, fr.etype, rand_buf, ev_time
+                self.tables, element, charge, P, fr.etype, rand_buf, ev_time,
+                fr.ln_S,
             )
             element, charge, P = res.element, res.charge, res.P
             n_events += int(res.n_events)
@@ -750,13 +754,22 @@ class VCMModel:
                         qmax=self.qmax,
                     )
                 pot_sum = pot_pair + pot_b
-                P, etype = build_event_table(
-                    element, charge, pot_sum, T_bg,
-                    t.act_neigh, t.act_self2, t.act_layer,
-                    t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-                    p.freq, p.sigma, p.k, rows=t.act_idx,
-                )
-                return pot_sum, P, etype, q_ovf, c_ovf
+                if self.rate_normalize:
+                    P, etype, ln_S = build_event_table(
+                        element, charge, pot_sum, T_bg,
+                        t.act_neigh, t.act_self2, t.act_layer,
+                        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+                        p.freq, p.sigma, p.k, rows=t.act_idx, normalize=True,
+                    )
+                else:
+                    P, etype = build_event_table(
+                        element, charge, pot_sum, T_bg,
+                        t.act_neigh, t.act_self2, t.act_layer,
+                        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+                        p.freq, p.sigma, p.k, rows=t.act_idx,
+                    )
+                    ln_S = None
+                return pot_sum, P, etype, q_ovf, c_ovf, ln_S
 
             self._timed_jits = {
                 "charge": jax.jit(_phase_charge),
@@ -765,8 +778,15 @@ class VCMModel:
             }
 
         def timed(fn, *args):
+            # sync via a scalar pull: jax.block_until_ready returns EARLY on
+            # this runtime's remote buffers (PERF_NOTES), which would leak
+            # each phase's tail into the next phase's measured time
             t0 = _time.perf_counter()
-            out = jax.block_until_ready(fn(*args))
+            out = fn(*args)
+            leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "size")]
+            sync = min(leaves, key=lambda l: l.size, default=None)
+            if sync is not None:
+                float(jnp.sum(sync))
             return out, _time.perf_counter() - t0
 
         t = self.tables
@@ -775,14 +795,13 @@ class VCMModel:
         )
         if bool(np.asarray(v_ovf)):
             self.vmax *= 2
-            self._invalidate_jits()
-            del self._timed_jits
+            self._invalidate_jits()        # also drops _timed_jits
             return self.superstep_timed(state, Vd, stream, rand_chunk)
         (pot_b, cg_iters), dt_boundary = timed(
             self._timed_jits["boundary"], t, self.kop, state.element,
             charge, state.potential_boundary, Vd,
         )
-        (pot_sum, P, etype, q_ovf, c_ovf), dt_pair = timed(
+        (pot_sum, P, etype, q_ovf, c_ovf, ln_S), dt_pair = timed(
             self._timed_jits["pair"], t, state.element, charge, pot_b, state.T_bg
         )
         if bool(np.asarray(q_ovf)) or bool(np.asarray(c_ovf)):
@@ -790,15 +809,14 @@ class VCMModel:
                 self.qmax *= 2
             if bool(np.asarray(c_ovf)):
                 self.pair_cand_cap *= 2
-            self._invalidate_jits()
-            del self._timed_jits
+            self._invalidate_jits()        # also drops _timed_jits
             return self.superstep_timed(state, Vd, stream, rand_chunk)
 
         t0 = _time.perf_counter()
         rand_buf = jnp.asarray(stream.peek(rand_chunk))
         res = self._events_jit(
             t, state.element, charge, P, etype, rand_buf,
-            jnp.asarray(0.0, jnp.float64),
+            jnp.asarray(0.0, jnp.float64), ln_S,
         )
         element, charge2, Pm = res.element, res.charge, res.P
         n_events = int(res.n_events)
@@ -806,7 +824,9 @@ class VCMModel:
         stream.advance(int(res.draws_used))
         while not bool(res.done):
             rand_buf = jnp.asarray(stream.peek(rand_chunk))
-            res = self._events_jit(t, element, charge2, Pm, etype, rand_buf, ev_time)
+            res = self._events_jit(
+                t, element, charge2, Pm, etype, rand_buf, ev_time, ln_S
+            )
             element, charge2, Pm = res.element, res.charge, res.P
             n_events += int(res.n_events)
             ev_time = res.event_time
@@ -1012,22 +1032,31 @@ class VCMModel:
         p = self.params
         if not hasattr(self, "_events_only_jit"):
             def _ev(t, element, charge, potential, T_bg, rand_buf):
-                P, etype = build_event_table(
-                    element, charge, potential, T_bg,
-                    t.act_neigh, t.act_self2, t.act_layer,
-                    t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-                    p.freq, p.sigma, p.k, rows=t.act_idx,
-                )
+                if self.rate_normalize:
+                    P, etype, ln_S = build_event_table(
+                        element, charge, potential, T_bg,
+                        t.act_neigh, t.act_self2, t.act_layer,
+                        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+                        p.freq, p.sigma, p.k, rows=t.act_idx, normalize=True,
+                    )
+                else:
+                    P, etype = build_event_table(
+                        element, charge, potential, T_bg,
+                        t.act_neigh, t.act_self2, t.act_layer,
+                        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+                        p.freq, p.sigma, p.k, rows=t.act_idx,
+                    )
+                    ln_S = None
                 P, etype, neigh = self._loop_arrays(t, P, etype)
                 res = run_event_loop(
                     element, charge, P, etype, neigh, rand_buf,
-                    p.freq, act_idx=t.act_idx, abs2act=t.abs2act,
+                    p.freq, act_idx=t.act_idx, abs2act=t.abs2act, ln_S=ln_S,
                 )
-                return res, etype
+                return res, etype, ln_S
 
             self._events_only_jit = jax.jit(_ev)
         rand_buf = jnp.asarray(stream.peek(rand_chunk))
-        res, etype = self._events_only_jit(
+        res, etype, ln_S = self._events_only_jit(
             self.tables, state.element, state.charge, state.potential_charge,
             state.T_bg, rand_buf,
         )
@@ -1038,7 +1067,7 @@ class VCMModel:
         while not bool(res.done):
             rand_buf = jnp.asarray(stream.peek(rand_chunk))
             res = self._events_jit(
-                self.tables, element, charge, P, etype, rand_buf, ev_time
+                self.tables, element, charge, P, etype, rand_buf, ev_time, ln_S
             )
             element, charge, P = res.element, res.charge, res.P
             n_events += int(res.n_events)
@@ -1084,8 +1113,11 @@ class VCMModel:
             ]),
         ])
 
-    def _step_full(self, t: StaticTables, bk, ct, element, charge, pb_prev,
+    def _step_full(self, t: StaticTables, bk, ct, lh, element, charge, pb_prev,
                    cb_edge, temperature, T_bg, m_prev, Vd, rand_buf):
+        # lh: LocalHeat tables as a jit ARGUMENT (closed-over arrays bake in
+        # as constants — ~600x slower per call through the tunnel,
+        # PERF_NOTES); None when solve_heating_local is off
         p = self.params
         fr = self._fields(t, bk, element, charge, pb_prev, T_bg, Vd)
 
@@ -1109,7 +1141,7 @@ class VCMModel:
             )
         elif p.solve_heating_local:
             temp_new = update_temperature_local_ref(
-                self.local_heat, temperature, site_power, res.element,
+                lh, temperature, site_power, res.element,
                 res.event_time, p.delta_t, p.tau, p.background_temp,
                 p.nn_dist * 1e-10, p.k_th_interface, p.k_th_vacancies,
             )
@@ -1132,8 +1164,9 @@ class VCMModel:
             m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
         rand_buf = jnp.asarray(stream.peek(rand_chunk))
         ct = self.current_tables
+        lh = self.local_heat if self.params.solve_heating_local else None
         fr, res, site_power, m_new, T_new, temp_new, diag = self._step_full_jit(
-            self.tables, self.kop, ct, state.element, state.charge,
+            self.tables, self.kop, ct, lh, state.element, state.charge,
             state.potential_boundary, state.cb_edge, state.temperature,
             state.T_bg, m_prev, Vd, rand_buf,
         )
@@ -1186,13 +1219,13 @@ class VCMModel:
             m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
         key = ("full", k, rand_chunk)
         if key not in self._multi_jits:
-            def _multi(t, bk, ct, element, charge, pb, cb, temp, T_bg, m,
+            def _multi(t, bk, ct, lh, element, charge, pb, cb, temp, T_bg, m,
                        Vd, rand_buf):
                 def body(carry, _):
                     element, charge, pb, pc, temp, T_bg, m, cursor = carry
                     window = lax.dynamic_slice(rand_buf, (cursor,), (rand_chunk,))
                     fr, res, site_power, m, T_bg, temp, diag = self._step_full(
-                        t, bk, ct, element, charge, pb, cb, temp, T_bg, m,
+                        t, bk, ct, lh, element, charge, pb, cb, temp, T_bg, m,
                         Vd, window,
                     )
                     carry = (
@@ -1216,8 +1249,9 @@ class VCMModel:
             self._multi_jits[key] = jax.jit(_multi, **opts)
         rand_buf = jnp.asarray(stream.peek(k * rand_chunk))
         ct = self.current_tables
+        lh = self.local_heat if self.params.solve_heating_local else None
         element, charge, pb, pc, temp, T_bg, m, diag, power = self._multi_jits[key](
-            self.tables, self.kop, ct, state.element, state.charge,
+            self.tables, self.kop, ct, lh, state.element, state.charge,
             state.potential_boundary, state.cb_edge, state.temperature,
             state.T_bg, m_prev, Vd, rand_buf,
         )

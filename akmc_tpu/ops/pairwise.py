@@ -300,6 +300,11 @@ def pairwise_potential_tiled(
     n = pos.shape[0]
     dt = pos.dtype
     T, S = tiling.tile_sites.shape
+    # a tile can never hold more than qmax candidates (the mask row has
+    # qmax slots), so clamp: keeps host-side cap growth from pushing
+    # top_k's k past the row length (trace-time crash); at cand_cap ==
+    # qmax overflow is impossible
+    cand_cap = min(cand_cap, qmax)
 
     charged = charge != 0
     n_charged = jnp.sum(charged)

@@ -169,21 +169,10 @@ def update_temperature_local_ref(
         return jnp.where(lh.if_mask, t, temperature)
 
     def steady(t):
-        from akmc_tpu.solvers.cg import jacobi_cg
-
-        valid = lh.neigh_idx >= 0
-        degree = jnp.sum(valid, axis=1).astype(t.dtype)
-
-        def A(u):
-            uz = jnp.where(lh.if_mask, u, 0.0)
-            tj = jnp.where(valid, uz[lh.neigh_idx.clip(0)], 0.0)
-            y = degree * uz - jnp.sum(tj, axis=1)
-            return jnp.where(lh.if_mask, y, u)
-
-        b = src * (T_1 - T0)
-        inv_diag = jnp.where(lh.if_mask, 1.0 / jnp.maximum(degree, 1.0), 1.0)
-        res = jacobi_cg(A, b, jnp.zeros_like(b), inv_diag, 1e-10, 20000)
-        return jnp.where(lh.if_mask, T0 + res.x, temperature)
+        return update_temperature_local_steady(
+            lh, temperature, site_power, element, background_temp,
+            nn_dist_m, k_th_interface, k_th_vacancies,
+        )
 
     return jax.lax.cond(step_time > 1e3 * delta_t, steady, transient, temperature)
 

@@ -263,3 +263,38 @@ def test_normalized_rates_match_absolute():
     assert ev_n == ev_a
     np.testing.assert_array_equal(np.asarray(s_n.element), np.asarray(s_a.element))
     np.testing.assert_allclose(t_n, t_a, rtol=1e-9)
+
+
+def test_normalized_rates_resume_chunk_exhaustion():
+    """rate_normalize + a rand buffer that runs out mid-superstep: the
+    events-only resume chunks must carry the log rate scale ln_S (review
+    finding: the resume path dropped it, inflating waiting times ~S-fold
+    and truncating the superstep)."""
+    import numpy as np
+
+    from akmc_tpu.models.vcm import VCMModel
+    from akmc_tpu.rng import BufferedStream, ReferenceRNG
+    from akmc_tpu.state import make_device_state, make_substoichiometric
+    from tests.util_toy import toy_device
+
+    p, lat = toy_device()
+    lat.element0[:] = make_substoichiometric(lat.element0, 0.2, ReferenceRNG(7))
+
+    def run(chunk):
+        model = VCMModel(p, lat, rate_normalize=True)
+        state = make_device_state(lat, p.background_temp)
+        stream = BufferedStream(ReferenceRNG(1))
+        ev, times = [], []
+        for _ in range(3):
+            state, stats = model.superstep(state, 2.0, stream, rand_chunk=chunk)
+            ev.append(stats["n_events"])
+            times.append(stats["event_time"])
+        return state, ev, times
+
+    s_big, ev_big, t_big = run(8192)       # no exhaustion
+    s_sm, ev_sm, t_sm = run(6)             # forces events-only resume chunks
+    assert sum(ev_big) > 3                 # the resume path actually runs
+    assert ev_sm == ev_big
+    np.testing.assert_array_equal(np.asarray(s_sm.element), np.asarray(s_big.element))
+    np.testing.assert_allclose(t_sm, t_big, rtol=1e-12)
+    np.testing.assert_allclose(float(s_sm.kmc_time), float(s_big.kmc_time), rtol=1e-12)

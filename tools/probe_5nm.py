@@ -49,11 +49,17 @@ def main():
     print(f"[warmup] {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     def timed(label, fn, n=reps):
+        # scalar-pull sync per call: block_until_ready returns early on this
+        # runtime's remote buffers (PERF_NOTES)
+        import jax.numpy as jnp
+
         ts = []
         out = None
         for i in range(n):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(i))
+            out = fn(i)
+            leaf = jax.tree.leaves(out)[0]
+            float(jnp.sum(leaf))
             ts.append(time.perf_counter() - t0)
         print(f"{label:28s} median {float(np.median(ts))*1e3:8.2f} ms  "
               f"min {min(ts)*1e3:8.2f} ms", file=sys.stderr)
@@ -67,8 +73,6 @@ def main():
 
     fr = model._run_fields(state, Vd)
     rb = [jax.numpy.asarray(stream.peek(8192)) for _ in range(reps)]
-    for b, i in zip(rb, range(reps)):
-        pass
     timed("event loop", lambda i: model._events_jit(
         t, state.element, fr.charge, fr.P, fr.etype, rb[i],
         jax.numpy.asarray(0.0, jax.numpy.float64)))
