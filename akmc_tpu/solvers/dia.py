@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from akmc_tpu.lattice import ELEM
-from akmc_tpu.solvers.cg import CGResult, f64_matvec, jacobi_cg
+from akmc_tpu.solvers.cg import CGResult, jacobi_cg
 
 
 class DiaK(NamedTuple):
@@ -41,6 +41,13 @@ class DiaK(NamedTuple):
     no solver-frame permutation needed — the generator emits slot order)."""
 
     diags: jax.Array         # (D, N) static edge values; diags[d, i] = G(i, i+o_d)
+    adjm: jax.Array          # (D, N) bool edge-existence mask (= diags != 0):
+    #                          drives the conductive-vacancy correction as a
+    #                          second O(D*N) offset pass — cvac pairs obey
+    #                          the SAME nn_dist rule as the K sparsity, so
+    #                          the adjacency already enumerates them (the
+    #                          former dense (vmax, vmax) plane was 11.6 GB
+    #                          and 1.45G MACs PER CG ITERATION at vmax=38k)
     deg_static: jax.Array    # (N,) static diagonal (all-neighbor G sums)
     lsum: jax.Array          # (N,) static left-contact row sums
     rsum: jax.Array          # (N,) static right-contact row sums
@@ -95,6 +102,7 @@ def build_dia_k(
 
     dia = DiaK(
         diags=jnp.asarray(diags),
+        adjm=jnp.asarray(diags != 0.0),
         deg_static=jnp.asarray(deg_static),
         lsum=jnp.asarray(lsum),
         rsum=jnp.asarray(rsum),
@@ -115,26 +123,18 @@ def dia_matvec(dia: DiaK, meta: DiaMeta, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _cvac_pieces(pos, cvac, nn_dist, lattice, pbc, vmax):
-    """Compacted conductive-vacancy adjacency (same rule as the K sparsity:
-    pairs within nn_dist, PBC-aware)."""
-    idx = jnp.nonzero(cvac, size=vmax, fill_value=-1)[0].astype(jnp.int32)
-    vv = idx >= 0
-    p = pos[idx.clip(0)]
-    d = p[:, None, :] - p[None, :, :]
-    if pbc:
-        dy = d[..., 1] / lattice[1]
-        dy = (dy - jnp.round(dy)) * lattice[1]
-        dz = d[..., 2] / lattice[2]
-        dz = (dz - jnp.round(dz)) * lattice[2]
-        d2 = d[..., 0] ** 2 + dy**2 + dz**2
-    else:
-        d2 = jnp.sum(d * d, -1)
-    same = idx[:, None] == idx[None, :]
-    W = jnp.where(
-        (d2 < nn_dist * nn_dist) & ~same & vv[:, None] & vv[None, :], 1.0, 0.0
-    )
-    return idx, vv, W, jnp.sum(W, axis=1)
+def dia_adj_matvec(dia: DiaK, meta: DiaMeta, x: jnp.ndarray) -> jnp.ndarray:
+    """y_i = sum over K-adjacency edges (i, i+o_d) of x[i+o_d] — the same
+    shift pass as dia_matvec with 0/1 edge weights (select, no multiply)."""
+    n = x.shape[0]
+    maxo = max(abs(o) for o in meta.offsets)
+    xp = jnp.zeros(n + 2 * maxo, x.dtype).at[maxo : maxo + n].set(x)
+    y = jnp.zeros_like(x)
+    for d, o in enumerate(meta.offsets):
+        y = y + jnp.where(
+            dia.adjm[d], jax.lax.dynamic_slice(xp, (maxo + o,), (n,)), 0.0
+        )
+    return y
 
 
 def solve_potential_boundary_dia(
@@ -161,12 +161,16 @@ def solve_potential_boundary_dia(
     n_int = n - L - R
     dG = high_G - low_G
 
+    # conductive-vacancy correction via the STATIC adjacency: cvac pairs
+    # are pairs within nn_dist — exactly the K sparsity rule — so the
+    # offset-diagonal edge mask already enumerates them. O(D*N) per
+    # iteration, no vacancy-count cap (the former compacted dense
+    # (vmax, vmax) block cost vmax^2 MACs per CG iteration — 1.45G at the
+    # 4.6M-slot crossbar's vmax=38k — and 8*vmax^2 bytes of HBM).
     cvac = (element == int(ELEM.VACANCY)) & (charge == 0)
-    vidx, vv, Wv, vdeg = _cvac_pieces(dia.pos, cvac, nn_dist, lattice, pbc, vmax)
-
-    diag = dia.deg_static + dG * (
-        jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, vdeg, 0.0))
-    )
+    cvac_f = jnp.where(cvac, 1.0, 0.0)
+    vdeg = dia_adj_matvec(dia, meta, cvac_f)       # cvac-neighbor counts
+    diag = dia.deg_static + dG * jnp.where(cvac, vdeg, 0.0)
 
     idxs = jnp.arange(n)
     is_int = (idxs >= L) & (idxs < n - R) & dia.active_row
@@ -176,9 +180,9 @@ def solve_potential_boundary_dia(
     def A(x):
         xz = jnp.where(is_int, x, 0.0)
         y = diag * xz - dia_matvec(dia, meta, xz)
-        xv = jnp.where(vv, xz[vidx.clip(0)], 0.0)
-        corr = dG * f64_matvec(Wv, xv)
-        y = y - jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, corr, 0.0))
+        xv = jnp.where(cvac, xz, 0.0)
+        corr = dia_adj_matvec(dia, meta, xv)
+        y = y - dG * jnp.where(cvac, corr, 0.0)
         return jnp.where(is_int, y, x)
 
     x0 = jnp.where(is_int, potential_boundary_prev, 0.0)
