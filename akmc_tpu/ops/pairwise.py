@@ -319,14 +319,35 @@ def pairwise_potential_tiled(
     kq = k * Q_E
 
     # (T, Q) reach filter -> per-tile top-C candidate compaction (top_k on
-    # the 0/1 mask is index-stable, so candidates keep q-list order)
-    reach = cutoff_radius + r_tile
-    d2c = jnp.sum(
-        (tiling.tile_center[:, None, :] - q_pos[None, :, :]) ** 2, axis=-1
+    # the 0/1 mask is index-stable, so candidates keep q-list order).
+    # The filter runs in f32 and BLOCKED over tile chunks: at the 4.6M-slot
+    # crossbar (T=24k, qmax=38k) a single f64 plane is 7.3 GB (measured
+    # execution OOM). f32 is selection-only — the reach is padded by 1e-3 A
+    # against rounding, and the exact f64 `d2 < cutoff^2` test still runs
+    # in the compute plane below.
+    reach = jnp.asarray(
+        (cutoff_radius + r_tile + 1e-3) ** 2, jnp.float32
     )
-    cand_mask = (d2c < reach * reach) & qv[None, :]
-    cand_overflow = jnp.max(jnp.sum(cand_mask, axis=1)) > cand_cap
-    mvals, candq = jax.lax.top_k(cand_mask.astype(jnp.int32), cand_cap)
+    cen32 = tiling.tile_center.astype(jnp.float32)
+    qp32 = q_pos.astype(jnp.float32)
+    fblk = max(1, min(T, plane_budget // max(1, 4 * qmax)))
+    nfb = -(-T // fblk)
+    cen_p = jnp.pad(
+        cen32, ((0, nfb * fblk - T), (0, 0)), constant_values=1e30
+    ).reshape(nfb, fblk, 3)
+
+    def filt(cen_b):
+        d2c = jnp.sum(
+            (cen_b[:, None, :] - qp32[None, :, :]) ** 2, axis=-1
+        )
+        mask = (d2c < reach) & qv[None, :]
+        mv, ci = jax.lax.top_k(mask.astype(jnp.int32), cand_cap)
+        return mv, ci, jnp.sum(mask, axis=1)
+
+    mvals, candq, cnt = lax.map(filt, cen_p)
+    mvals = mvals.reshape(nfb * fblk, cand_cap)[:T]
+    candq = candq.reshape(nfb * fblk, cand_cap)[:T]
+    cand_overflow = jnp.max(cnt.reshape(-1)[: nfb * fblk]) > cand_cap
     sel = mvals > 0                                    # (T, C)
     q_posc = q_pos[candq]                              # (T, C, 3)
     q_valc = jnp.where(sel, q_val[candq], 0.0)

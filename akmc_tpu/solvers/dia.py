@@ -147,10 +147,10 @@ def solve_potential_boundary_dia(
     high_G: float,
     low_G: float,
     num_atoms_first_layer: int,
-    nn_dist: float,
-    lattice: jnp.ndarray,
-    pbc: bool,
-    vmax: int,
+    nn_dist: float = 0.0,      # unused: the cvac pair rule (pairs within
+    lattice: jnp.ndarray = None,  # nn_dist) is realized through the static
+    pbc: bool = False,            # adjacency mask itself; kept for
+    vmax: int = 0,                # signature parity with the banded solver
     rtol_coeff: float = 1e-14,
     max_iterations: int = 10000,
 ) -> Tuple[jnp.ndarray, CGResult]:
