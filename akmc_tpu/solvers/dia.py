@@ -40,12 +40,17 @@ class DiaK(NamedTuple):
     """Static pieces of the DIA-format K operator (site order = file order;
     no solver-frame permutation needed — the generator emits slot order)."""
 
-    diags: jax.Array         # (D, N) static edge values; diags[d, i] = G(i, i+o_d)
-    adjm: jax.Array          # (D, N) bool edge-existence mask (= diags != 0):
+    diags: jax.Array         # (D, N) int8 edge CODES: 0 = no edge,
+    #                          1 = low_G edge, 2 = metal-metal high_G edge.
+    #                          Values are decoded in dia_matvec from
+    #                          DiaMeta's baked constants (same int8 trick as
+    #                          the banded operator: an f64 plane this size
+    #                          costs 3x in-program copies under the
+    #                          X64-rewrite — 3.5 GB at the 4.6M crossbar).
+    #                          Code != 0 doubles as the adjacency mask that
     #                          drives the conductive-vacancy correction as a
     #                          second O(D*N) offset pass — cvac pairs obey
-    #                          the SAME nn_dist rule as the K sparsity, so
-    #                          the adjacency already enumerates them (the
+    #                          the SAME nn_dist rule as the K sparsity (the
     #                          former dense (vmax, vmax) plane was 11.6 GB
     #                          and 1.45G MACs PER CG ITERATION at vmax=38k)
     deg_static: jax.Array    # (N,) static diagonal (all-neighbor G sums)
@@ -57,6 +62,9 @@ class DiaK(NamedTuple):
 
 class DiaMeta(NamedTuple):
     offsets: Tuple[int, ...]     # static offsets (python ints, baked into jit)
+    # decode constants for the int8 diagonal codes (host f64 floats)
+    val_low: float = 0.0
+    val_high: float = 0.0
 
 
 def build_dia_k(
@@ -87,11 +95,15 @@ def build_dia_k(
     vals = np.where(valid, np.where(mm, high_G, low_G), 0.0)
 
     off_index = {int(o): d for d, o in enumerate(uniq)}
-    diags = np.zeros((len(uniq), n))
+    diags = np.zeros((len(uniq), n), np.int8)
     r = rows[valid]
     d_idx = np.array([off_index[int(o)] for o in offs[valid]])
-    # at most one edge per (row, offset) on a slot lattice; use add for safety
-    np.add.at(diags, (d_idx, r), vals[valid])
+    np.add.at(diags, (d_idx, r), np.int8(1))
+    # no two edges may share a (row, offset) slot — a collision would have
+    # SUMMED values in an f64 diagonal
+    assert diags.max() <= 1, "duplicate (row, offset) edge in k_neigh_idx"
+    mm_e = mm[valid]
+    np.add.at(diags, (d_idx[mm_e], r[mm_e]), np.int8(1))
 
     deg_static = vals.sum(1)
     L = R = num_atoms_first_layer
@@ -102,24 +114,33 @@ def build_dia_k(
 
     dia = DiaK(
         diags=jnp.asarray(diags),
-        adjm=jnp.asarray(diags != 0.0),
         deg_static=jnp.asarray(deg_static),
         lsum=jnp.asarray(lsum),
         rsum=jnp.asarray(rsum),
         pos=jnp.asarray(pos),
         active_row=jnp.asarray(valid.any(axis=1)),
     )
-    return dia, DiaMeta(offsets=tuple(int(o) for o in uniq))
+    return dia, DiaMeta(
+        offsets=tuple(int(o) for o in uniq),
+        val_low=float(low_G), val_high=float(high_G),
+    )
 
 
 def dia_matvec(dia: DiaK, meta: DiaMeta, x: jnp.ndarray) -> jnp.ndarray:
-    """y = W @ x via D static shift-multiply-adds (no gathers)."""
+    """y = W @ x via D static shift-multiply-adds (no gathers). Edge values
+    decode from the int8 codes via two selects fused into the multiply —
+    only 1 byte/slot crosses HBM and the products are identical to an f64
+    diagonal holding the same {0, low_G, high_G} values."""
     n = x.shape[0]
     maxo = max(abs(o) for o in meta.offsets)
     xp = jnp.zeros(n + 2 * maxo, x.dtype).at[maxo : maxo + n].set(x)
     y = jnp.zeros_like(x)
     for d, o in enumerate(meta.offsets):
-        y = y + dia.diags[d] * jax.lax.dynamic_slice(xp, (maxo + o,), (n,))
+        c = dia.diags[d]
+        bf = jnp.where(
+            c == 2, meta.val_high, jnp.where(c == 1, meta.val_low, 0.0)
+        )
+        y = y + bf * jax.lax.dynamic_slice(xp, (maxo + o,), (n,))
     return y
 
 
@@ -132,7 +153,7 @@ def dia_adj_matvec(dia: DiaK, meta: DiaMeta, x: jnp.ndarray) -> jnp.ndarray:
     y = jnp.zeros_like(x)
     for d, o in enumerate(meta.offsets):
         y = y + jnp.where(
-            dia.adjm[d], jax.lax.dynamic_slice(xp, (maxo + o,), (n,)), 0.0
+            dia.diags[d] != 0, jax.lax.dynamic_slice(xp, (maxo + o,), (n,)), 0.0
         )
     return y
 
