@@ -63,6 +63,12 @@ def test_dia_solver_matches_ell(grid):
     fr_d = m_dia._run_fields(state, 2.0)
     fr_e = m_ell._run_fields(state, 2.0)
     np.testing.assert_array_equal(np.asarray(fr_d.charge), np.asarray(fr_e.charge))
+    # the conductive-vacancy correction (adjacency shift pass) must actually
+    # be exercised: uncharged vacancies present
+    cvac = (np.asarray(lat.element0) == int(ELEM.VACANCY)) & (
+        np.asarray(fr_d.charge) == 0
+    )
+    assert cvac.sum() >= 2, "fixture has no conductive vacancies"
     # same matrix/rhs/CG semantics; fp association differs below tolerance
     np.testing.assert_allclose(
         np.asarray(fr_d.potential_boundary),
