@@ -62,7 +62,7 @@ def main():
     # (lax.scan batching; trajectory identical to K sequential supersteps —
     # tests/test_superstep_toy.py::test_superstep_multi_matches_sequential).
     # warm-up batch pays the compile + the expensive first zero-guess CG.
-    K = 16
+    K = 64
     state, _ = model.superstep_multi(state, Vd, stream, k=K, rand_chunk=2048)
 
     times = []
