@@ -337,6 +337,25 @@ class VCMModel:
         self.mesh = None                # set by parallel.mesh.shard_model
 
     # ------------------------------------------------------------------
+    def _build_rates(self, t: StaticTables, element, charge, pot_sum, T_bg):
+        """(P, etype, ln_S) — ln_S is None in bit-parity mode. One home for
+        the rate_normalize dispatch (was copy-pasted across three paths)."""
+        p = self.params
+        if self.rate_normalize:
+            return build_event_table(
+                element, charge, pot_sum, T_bg,
+                t.act_neigh, t.act_self2, t.act_layer,
+                t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+                p.freq, p.sigma, p.k, rows=t.act_idx, normalize=True,
+            )
+        P, etype = build_event_table(
+            element, charge, pot_sum, T_bg,
+            t.act_neigh, t.act_self2, t.act_layer,
+            t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+            p.freq, p.sigma, p.k, rows=t.act_idx,
+        )
+        return P, etype, None
+
     def _solve_boundary(self, kop, t, element, charge, pb_prev, Vd):
         """K-system solve through whichever operator the structure supports:
         DIA (gather-free offset diagonals, grid-native structures), banded
@@ -396,21 +415,7 @@ class VCMModel:
             )
         pot_sum = pot_pair + pot_boundary   # sum_AB_into_A (psg.cu:1130-1151)
 
-        if self.rate_normalize:
-            P, etype, ln_S = build_event_table(
-                element, charge, pot_sum, T_bg,
-                t.act_neigh, t.act_self2, t.act_layer,
-                t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-                p.freq, p.sigma, p.k, rows=t.act_idx, normalize=True,
-            )
-        else:
-            P, etype = build_event_table(
-                element, charge, pot_sum, T_bg,
-                t.act_neigh, t.act_self2, t.act_layer,
-                t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-                p.freq, p.sigma, p.k, rows=t.act_idx,
-            )
-            ln_S = None
+        P, etype, ln_S = self._build_rates(t, element, charge, pot_sum, T_bg)
         return FieldsResult(
             charge=charge,
             potential_boundary=pot_boundary,
@@ -754,21 +759,9 @@ class VCMModel:
                         qmax=self.qmax,
                     )
                 pot_sum = pot_pair + pot_b
-                if self.rate_normalize:
-                    P, etype, ln_S = build_event_table(
-                        element, charge, pot_sum, T_bg,
-                        t.act_neigh, t.act_self2, t.act_layer,
-                        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-                        p.freq, p.sigma, p.k, rows=t.act_idx, normalize=True,
-                    )
-                else:
-                    P, etype = build_event_table(
-                        element, charge, pot_sum, T_bg,
-                        t.act_neigh, t.act_self2, t.act_layer,
-                        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-                        p.freq, p.sigma, p.k, rows=t.act_idx,
-                    )
-                    ln_S = None
+                P, etype, ln_S = self._build_rates(
+                    t, element, charge, pot_sum, T_bg
+                )
                 return pot_sum, P, etype, q_ovf, c_ovf, ln_S
 
             self._timed_jits = {
@@ -777,16 +770,13 @@ class VCMModel:
                 "pair": jax.jit(_phase_pair_rates),
             }
 
+        from akmc_tpu.runtime.profiling import pull_sync
+
         def timed(fn, *args):
-            # sync via a scalar pull: jax.block_until_ready returns EARLY on
-            # this runtime's remote buffers (PERF_NOTES), which would leak
-            # each phase's tail into the next phase's measured time
+            # pull_sync: block_until_ready returns early on remote buffers,
+            # which would leak each phase's tail into the next phase's time
             t0 = _time.perf_counter()
-            out = fn(*args)
-            leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "size")]
-            sync = min(leaves, key=lambda l: l.size, default=None)
-            if sync is not None:
-                float(jnp.sum(sync))
+            out = pull_sync(fn(*args))
             return out, _time.perf_counter() - t0
 
         t = self.tables
@@ -1032,21 +1022,9 @@ class VCMModel:
         p = self.params
         if not hasattr(self, "_events_only_jit"):
             def _ev(t, element, charge, potential, T_bg, rand_buf):
-                if self.rate_normalize:
-                    P, etype, ln_S = build_event_table(
-                        element, charge, potential, T_bg,
-                        t.act_neigh, t.act_self2, t.act_layer,
-                        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-                        p.freq, p.sigma, p.k, rows=t.act_idx, normalize=True,
-                    )
-                else:
-                    P, etype = build_event_table(
-                        element, charge, potential, T_bg,
-                        t.act_neigh, t.act_self2, t.act_layer,
-                        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-                        p.freq, p.sigma, p.k, rows=t.act_idx,
-                    )
-                    ln_S = None
+                P, etype, ln_S = self._build_rates(
+                    t, element, charge, potential, T_bg
+                )
                 P, etype, neigh = self._loop_arrays(t, P, etype)
                 res = run_event_loop(
                     element, charge, P, etype, neigh, rand_buf,

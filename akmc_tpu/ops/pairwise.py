@@ -322,14 +322,17 @@ def pairwise_potential_tiled(
     # the 0/1 mask is index-stable, so candidates keep q-list order).
     # The filter runs in f32 and BLOCKED over tile chunks: at the 4.6M-slot
     # crossbar (T=24k, qmax=38k) a single f64 plane is 7.3 GB (measured
-    # execution OOM). f32 is selection-only — the reach is padded by 1e-3 A
-    # against rounding, and the exact f64 `d2 < cutoff^2` test still runs
-    # in the compute plane below.
-    reach = jnp.asarray(
-        (cutoff_radius + r_tile + 1e-3) ** 2, jnp.float32
-    )
+    # execution OOM). f32 is selection-only — the reach is padded against
+    # rounding PROPORTIONALLY to the coordinate magnitude (f32 position
+    # error ~eps32*|x| enters d2 scaled by the distance; a fixed pad would
+    # silently under-select on large structures), and the exact f64
+    # `d2 < cutoff^2` test still runs in the compute plane below.
+    # Over-inclusion is harmless (candidates only; the cap auto-grows).
     cen32 = tiling.tile_center.astype(jnp.float32)
     qp32 = q_pos.astype(jnp.float32)
+    coord_scale = jnp.max(jnp.abs(cen32))
+    pad = jnp.float32(1e-3) + 64.0 * jnp.float32(1.2e-7) * coord_scale
+    reach = (jnp.float32(cutoff_radius + r_tile) + pad) ** 2
     fblk = max(1, min(T, plane_budget // max(1, 4 * qmax)))
     nfb = -(-T // fblk)
     cen_p = jnp.pad(

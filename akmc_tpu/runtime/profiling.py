@@ -75,3 +75,21 @@ def device_memory_stats() -> Optional[dict]:
         }
     except Exception:
         return None
+
+
+def pull_sync(out):
+    """Force completion of a dispatched computation by pulling ONE scalar.
+
+    ``jax.block_until_ready`` returns EARLY on this machine's remote
+    (tunneled-TPU) buffers — timing brackets must pull a scalar per call to
+    actually synchronize (PERF_NOTES). Pulls the smallest array leaf of
+    ``out`` (cheapest transfer); returns ``out`` unchanged.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "size")]
+    sync = min(leaves, key=lambda l: l.size, default=None)
+    if sync is not None:
+        float(jnp.sum(sync))
+    return out

@@ -100,8 +100,11 @@ def build_dia_k(
     d_idx = np.array([off_index[int(o)] for o in offs[valid]])
     np.add.at(diags, (d_idx, r), np.int8(1))
     # no two edges may share a (row, offset) slot — a collision would have
-    # SUMMED values in an f64 diagonal
-    assert diags.max() <= 1, "duplicate (row, offset) edge in k_neigh_idx"
+    # SUMMED values in an f64 diagonal, and code 2 is reserved for the
+    # metal-metal value (a hard error, not an assert: python -O must not
+    # silently produce a wrong K matrix)
+    if int(diags.max()) > 1:
+        raise ValueError("duplicate (row, offset) edge in k_neigh_idx")
     mm_e = mm[valid]
     np.add.at(diags, (d_idx[mm_e], r[mm_e]), np.int8(1))
 
@@ -142,6 +145,31 @@ def dia_matvec(dia: DiaK, meta: DiaMeta, x: jnp.ndarray) -> jnp.ndarray:
         )
         y = y + bf * jax.lax.dynamic_slice(xp, (maxo + o,), (n,))
     return y
+
+
+def dia_combined_matvec(
+    dia: DiaK, meta: DiaMeta, x: jnp.ndarray, xv: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(W @ x, adjacency @ xv) in ONE offset loop: one diags read and one
+    pair of padded buffers per CG iteration instead of two full passes.
+    Per-offset accumulation order identical to the separate passes (same
+    fp results)."""
+    n = x.shape[0]
+    maxo = max(abs(o) for o in meta.offsets)
+    xp = jnp.zeros(n + 2 * maxo, x.dtype).at[maxo : maxo + n].set(x)
+    vp = jnp.zeros(n + 2 * maxo, xv.dtype).at[maxo : maxo + n].set(xv)
+    y = jnp.zeros_like(x)
+    yv = jnp.zeros_like(xv)
+    for d, o in enumerate(meta.offsets):
+        c = dia.diags[d]
+        bf = jnp.where(
+            c == 2, meta.val_high, jnp.where(c == 1, meta.val_low, 0.0)
+        )
+        y = y + bf * jax.lax.dynamic_slice(xp, (maxo + o,), (n,))
+        yv = yv + jnp.where(
+            c != 0, jax.lax.dynamic_slice(vp, (maxo + o,), (n,)), 0.0
+        )
+    return y, yv
 
 
 def dia_adj_matvec(dia: DiaK, meta: DiaMeta, x: jnp.ndarray) -> jnp.ndarray:
@@ -200,10 +228,9 @@ def solve_potential_boundary_dia(
 
     def A(x):
         xz = jnp.where(is_int, x, 0.0)
-        y = diag * xz - dia_matvec(dia, meta, xz)
         xv = jnp.where(cvac, xz, 0.0)
-        corr = dia_adj_matvec(dia, meta, xv)
-        y = y - dG * jnp.where(cvac, corr, 0.0)
+        mv, corr = dia_combined_matvec(dia, meta, xz, xv)
+        y = diag * xz - mv - dG * jnp.where(cvac, corr, 0.0)
         return jnp.where(is_int, y, x)
 
     x0 = jnp.where(is_int, potential_boundary_prev, 0.0)

@@ -49,17 +49,13 @@ def main():
     print(f"[warmup] {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     def timed(label, fn, n=reps):
-        # scalar-pull sync per call: block_until_ready returns early on this
-        # runtime's remote buffers (PERF_NOTES)
-        import jax.numpy as jnp
+        from akmc_tpu.runtime.profiling import pull_sync
 
         ts = []
         out = None
         for i in range(n):
             t0 = time.perf_counter()
-            out = fn(i)
-            leaf = jax.tree.leaves(out)[0]
-            float(jnp.sum(leaf))
+            out = pull_sync(fn(i))
             ts.append(time.perf_counter() - t0)
         print(f"{label:28s} median {float(np.median(ts))*1e3:8.2f} ms  "
               f"min {min(ts)*1e3:8.2f} ms", file=sys.stderr)
