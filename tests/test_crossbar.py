@@ -62,3 +62,32 @@ def test_synthetic_stack_runs_end_to_end():
     state, stats = model.superstep(state, 3.0, stream)
     assert stats["n_events"] >= 1
     assert np.isfinite(float(state.kmc_time))
+
+
+def test_grid_crossbar_production_path_regression():
+    """Pinned trajectory for the crossbar PRODUCTION configuration (DIA K
+    operator + tiled pairwise + shifted-exponent rates) — the path has no
+    reference golden, so this guards it against silent regressions. Any
+    INTENTIONAL fp-reassociation change (new operator formulations) will
+    trip this test; re-pin consciously after validating equivalence the way
+    the round-2 changes were (tiled-vs-on-the-fly oracle, DIA-vs-ELL)."""
+    from akmc_tpu.models.crossbar import build_grid_crossbar
+
+    p, lat = build_grid_crossbar(
+        n_yz=8, contact_slices=3, oxide_slices=8, ti_slices=3,
+        defect_fraction=0.2, vacancy_concentration=0.1, seed=11,
+    )
+    model = VCMModel(
+        p, lat, rate_normalize=True, pair_table_budget=0, pair_tiling_min_n=1
+    )
+    assert model.dia is not None and model.tables.pair_tiling is not None
+    state = make_device_state(lat, p.background_temp)
+    stream = BufferedStream(ReferenceRNG(2))
+    events, cg = [], []
+    for _ in range(3):
+        state, stats = model.superstep(state, 15.0, stream)
+        events.append(stats["n_events"])
+        cg.append(stats["cg_iterations"])
+    assert events == [13, 13, 15]
+    assert cg == [68, 83, 56]
+    np.testing.assert_allclose(float(state.kmc_time), 457.239148068819, rtol=1e-9)
