@@ -197,7 +197,9 @@ def run(
 
         folder = os.path.join(workdir, f"Results_{Vd:.6f}")
         os.makedirs(folder, exist_ok=True)
-        out.write(f"Created folder: {folder}\n")
+        # reference logs the RELATIVE folder name (kmc_main.cpp writes the
+        # bare "Results_<V>"); keep the line byte-compatible for scrapers
+        out.write(f"Created folder: {os.path.basename(folder)}\n")
         write_xyz_snapshot(
             os.path.join(folder, "snapshot_init.xyz"),
             np.asarray(state.element)[snap_sel], lat.x[snap_sel],

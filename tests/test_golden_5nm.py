@@ -37,6 +37,17 @@ def test_golden_5nm_trajectory(ref_5nm_dir, tmp_path):
     assert len(times) == len(GOLDEN_TIMES)
     np.testing.assert_allclose(times, GOLDEN_TIMES, rtol=2e-3)
 
+    # the full log must be line-for-line SCHEMA-identical to the reference's
+    # expected output (numbers stripped) — the scrapers parse these strings
+    ref_out = open(
+        os.path.join(ref_5nm_dir, "expected_output", "output1_0.txt")
+    ).read()
+
+    def schema(text):
+        return [re.sub(r"[-+0-9.eE]+", "#", l) for l in text.splitlines()]
+
+    assert schema(out) == schema(ref_out)
+
     # final snapshot: element-wise filament state vs golden snapshot_6.xyz
     from akmc_tpu.lattice import read_xyz
 
