@@ -149,6 +149,10 @@ class VCMModel:
                                     # re-jitted on overflow (diag slot 7)
     pair_tiling_min_n: int = 100_000  # build the tiling when the table
                                     # does not fit and N is at least this
+    event_select_incremental: bool = False  # carry the event-selection
+                                    # block sums, refreshing only touched
+                                    # blocks per event (bit-identical;
+                                    # ablation flag — PERF_NOTES round 3)
 
     tables: StaticTables = field(init=False)
 
@@ -477,6 +481,7 @@ class VCMModel:
             element, fr.charge, P, etype, neigh, rand_buf,
             self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
             ln_S=fr.ln_S,
+            incremental_select=self.event_select_incremental,
         )
         return fr, res, self._pack_diag(fr, res)
 
@@ -528,6 +533,7 @@ class VCMModel:
             act_idx=t.act_idx,
             abs2act=t.abs2act,
             ln_S=ln_S,
+            incremental_select=self.event_select_incremental,
         )
 
     def _cb(self, t: StaticTables, element, charge, cb_prev, Vd):
@@ -637,6 +643,7 @@ class VCMModel:
                 element, fr.charge, P, etype, neigh, window,
                 self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
                 ln_S=fr.ln_S,
+                incremental_select=self.event_select_incremental,
             )
             carry = (
                 res.element, res.charge, fr.potential_boundary,

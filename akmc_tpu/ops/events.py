@@ -208,6 +208,13 @@ def _select_site(R, r_sel, n):
 
     nb = n // _BLK
     bs = jnp.sum(R.reshape(nb, _BLK), axis=1)
+    return _select_site_bs(R, bs, r_sel, n)
+
+
+def _select_site_bs(R, bs, r_sel, n):
+    """Second level of the two-level selection given the block partial sums
+    (either freshly reduced or carried incrementally — identical values)."""
+    nb = n // _BLK
     cumb = jnp.cumsum(bs)
     total = cumb[-1]
     target = r_sel * total
@@ -278,6 +285,12 @@ def run_event_loop(
     act_idx: jnp.ndarray = None,   # (R,) absolute site per row, -1 padded
     abs2act: jnp.ndarray = None,   # (N,) absolute site -> row (pad row if none)
     ln_S=None,                 # log rate scale when P is shifted-exponent
+    incremental_select: bool = False,  # carry the selection's block partial
+    #                            sums and recompute only the <= 2+2*NN
+    #                            TOUCHED blocks per event (same (BLK,)-reduce
+    #                            over the same values — bit-identical to the
+    #                            fresh per-event reduce; ablation flag for
+    #                            the per-event cost model, PERF_NOTES)
 ) -> EventLoopResult:
     """Fused residence-time loop (execute_kmc_step_mpi, kmc_events.cu:430-528).
 
@@ -294,6 +307,7 @@ def run_event_loop(
     n, nn = P.shape
     buf_len = rand_buf.shape[0]
     inv_freq = 1.0 / freq
+    incremental_select = incremental_select and n % _BLK == 0
 
     R0 = jnp.sum(P, axis=1)
     t0 = (
@@ -303,14 +317,17 @@ def run_event_loop(
     )
 
     def cond(c):
-        element, charge, P, R, cnt, ev_time, n_ev = c
+        element, charge, P, R, bs, cnt, ev_time, n_ev = c
         return (ev_time < inv_freq) & (cnt + 2 <= buf_len)
 
     def body(c):
-        element, charge, P, R, cnt, ev_time, n_ev = c
+        element, charge, P, R, bs, cnt, ev_time, n_ev = c
 
         r_sel = rand_buf[cnt]
-        site, prev, total, target = _select_site(R, r_sel, n)
+        if incremental_select:
+            site, prev, total, target = _select_site_bs(R, bs, r_sel, n)
+        else:
+            site, prev, total, target = _select_site(R, r_sel, n)
         row = P[site]
         rowcum = jnp.cumsum(row)
         slot = jnp.searchsorted(rowcum, target - prev, side="right").astype(jnp.int32)
@@ -353,6 +370,14 @@ def run_event_loop(
         new_rows = jnp.where(kill & ok, 0.0, rows_P)
         P = P.at[ar].set(new_rows)
         R = R.at[ar].set(jnp.sum(new_rows, axis=1))
+        if incremental_select:
+            # refresh ONLY the touched blocks' partial sums from the updated
+            # R: the same (BLK,)-axis reduce over the same values a full
+            # recompute would do -> bit-identical selection state
+            b_ids = ar // _BLK
+            bs = bs.at[b_ids].set(
+                jnp.sum(R.reshape(n // _BLK, _BLK)[b_ids], axis=1)
+            )
 
         r_time = rand_buf[cnt + 1]
         if ln_S is None:
@@ -372,18 +397,26 @@ def run_event_loop(
         # behavior here is degenerate/UB — no stream to match, but counting
         # a spurious event would desync the host mt19937 cursor)
         dcnt = jnp.where(ok, 2, 0).astype(jnp.int32)
-        return (element, charge, P, R, cnt + dcnt, ev_time, n_ev + dcnt // 2)
+        return (element, charge, P, R, bs, cnt + dcnt, ev_time, n_ev + dcnt // 2)
 
+    bs0 = (
+        jnp.sum(R0.reshape(n // _BLK, _BLK), axis=1)
+        if incremental_select
+        else jnp.zeros(0, P.dtype)
+    )
     init = (
         element,
         charge,
         P,
         R0,
+        bs0,
         jnp.asarray(0, jnp.int32),
         t0,
         jnp.asarray(0, jnp.int32),
     )
-    element, charge, P, R, cnt, ev_time, n_ev = lax.while_loop(cond, body, init)
+    element, charge, P, R, bs, cnt, ev_time, n_ev = lax.while_loop(
+        cond, body, init
+    )
     return EventLoopResult(
         element=element,
         charge=charge,

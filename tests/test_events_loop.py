@@ -298,3 +298,36 @@ def test_normalized_rates_resume_chunk_exhaustion():
     np.testing.assert_array_equal(np.asarray(s_sm.element), np.asarray(s_big.element))
     np.testing.assert_allclose(t_sm, t_big, rtol=1e-12)
     np.testing.assert_allclose(float(s_sm.kmc_time), float(s_big.kmc_time), rtol=1e-12)
+
+
+def test_incremental_select_is_bit_identical():
+    """Carried-block-sum selection (event_select_incremental=True) must be
+    BIT-identical to the per-event fresh reduce: touched blocks recompute
+    the same (BLK,)-axis sum over the same R values."""
+    import numpy as np
+
+    from akmc_tpu.models.vcm import VCMModel
+    from akmc_tpu.rng import BufferedStream, ReferenceRNG
+    from akmc_tpu.state import make_device_state, make_substoichiometric
+    from tests.util_toy import toy_device
+
+    p, lat = toy_device()
+    lat.element0[:] = make_substoichiometric(lat.element0, 0.2, ReferenceRNG(7))
+
+    def run(**kw):
+        model = VCMModel(p, lat, **kw)
+        state = make_device_state(lat, p.background_temp)
+        stream = BufferedStream(ReferenceRNG(1))
+        ev, times = [], []
+        for _ in range(4):
+            state, stats = model.superstep(state, 2.0, stream)
+            ev.append(stats["n_events"])
+            times.append(stats["event_time"])
+        return state, ev, times
+
+    s_a, ev_a, t_a = run()
+    s_i, ev_i, t_i = run(event_select_incremental=True)
+    assert ev_i == ev_a
+    np.testing.assert_array_equal(np.asarray(s_i.element), np.asarray(s_a.element))
+    assert t_i == t_a                                     # bit-identical
+    assert float(s_i.kmc_time) == float(s_a.kmc_time)

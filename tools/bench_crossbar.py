@@ -23,6 +23,7 @@ import time
 def main():
     n_yz = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    inc_sel = "--inc-select" in sys.argv
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, here)
@@ -49,7 +50,9 @@ def main():
     t_build = time.perf_counter() - t0
     print(f"[build] N={lat.N} slots in {t_build:.1f}s", file=sys.stderr)
 
-    model = VCMModel(p, lat, rate_normalize=True)
+    model = VCMModel(
+        p, lat, rate_normalize=True, event_select_incremental=inc_sel
+    )
     # rate_normalize: this runtime's emulated f64 carries only the f32
     # exponent range; at Vd=15 absolute rates overflow it (PERF_NOTES)
     assert model.dia is not None, "crossbar must use the DIA operator"
