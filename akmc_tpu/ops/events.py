@@ -316,12 +316,25 @@ def run_event_loop(
         else jnp.asarray(event_time_in, P.dtype)
     )
 
+    # the carry layout must be IDENTICAL to the historical one when the
+    # incremental flag is off (an extra empty leaf changes the compiled
+    # program's hash and invalidates warm-start caches)
+    def unpack(c):
+        if incremental_select:
+            return c
+        element, charge, P, R, cnt, ev_time, n_ev = c
+        return element, charge, P, R, None, cnt, ev_time, n_ev
+
+    def pack(element, charge, P, R, bs, cnt, ev_time, n_ev):
+        if incremental_select:
+            return (element, charge, P, R, bs, cnt, ev_time, n_ev)
+        return (element, charge, P, R, cnt, ev_time, n_ev)
+
     def cond(c):
-        element, charge, P, R, bs, cnt, ev_time, n_ev = c
-        return (ev_time < inv_freq) & (cnt + 2 <= buf_len)
+        return (c[-2] < inv_freq) & (c[-3] + 2 <= buf_len)
 
     def body(c):
-        element, charge, P, R, bs, cnt, ev_time, n_ev = c
+        element, charge, P, R, bs, cnt, ev_time, n_ev = unpack(c)
 
         r_sel = rand_buf[cnt]
         if incremental_select:
@@ -397,14 +410,16 @@ def run_event_loop(
         # behavior here is degenerate/UB — no stream to match, but counting
         # a spurious event would desync the host mt19937 cursor)
         dcnt = jnp.where(ok, 2, 0).astype(jnp.int32)
-        return (element, charge, P, R, bs, cnt + dcnt, ev_time, n_ev + dcnt // 2)
+        return pack(
+            element, charge, P, R, bs, cnt + dcnt, ev_time, n_ev + dcnt // 2
+        )
 
     bs0 = (
         jnp.sum(R0.reshape(n // _BLK, _BLK), axis=1)
         if incremental_select
-        else jnp.zeros(0, P.dtype)
+        else None
     )
-    init = (
+    init = pack(
         element,
         charge,
         P,
@@ -414,8 +429,8 @@ def run_event_loop(
         t0,
         jnp.asarray(0, jnp.int32),
     )
-    element, charge, P, R, bs, cnt, ev_time, n_ev = lax.while_loop(
-        cond, body, init
+    element, charge, P, R, _, cnt, ev_time, n_ev = unpack(
+        lax.while_loop(cond, body, init)
     )
     return EventLoopResult(
         element=element,
