@@ -300,10 +300,17 @@ class VCMModel:
                 cen = np.asarray(tiling.tile_center)
                 reach = p.cutoff_radius + r_tile
                 if q0.any():
-                    d2q = (
-                        (cen[:, None, :] - pos_np[q0][None, :, :]) ** 2
-                    ).sum(-1)
-                    mx = int((d2q < reach * reach).sum(axis=1).max())
+                    # chunk the (T, Q) distance count over tile blocks: the
+                    # full broadcast is O(T*Q*3) f64 transient host RAM
+                    # (tens of GB at crossbar scale — round-2 advisor)
+                    pos_q = pos_np[q0]
+                    chunk = max(1, int(2e8 // max(1, pos_q.shape[0])))
+                    mx = 0
+                    for s in range(0, cen.shape[0], chunk):
+                        d2q = (
+                            (cen[s:s + chunk, None, :] - pos_q[None, :, :]) ** 2
+                        ).sum(-1)
+                        mx = max(mx, int((d2q < reach * reach).sum(axis=1).max()))
                 else:
                     mx = 0
                 self.pair_cand_cap = _round_up(max(64, int(1.5 * mx)), 64)
@@ -923,6 +930,28 @@ class VCMModel:
     def n_atom(self) -> int:
         return int(self.current_tables.atom_ind.shape[0])
 
+    def _shard_power_system(self, ps):
+        """Row-shard the tunnel blocks + neighbor plane over the mesh: the
+        TPU-native equivalent of the reference's row-distributed sparse T
+        submatrix (assemble_sparse_T_submatrix, initialize_sparsity_T.cu:
+        707-946 — distributed "over rows, NOT over blocks"). The per-pair
+        WKB evaluation (incl. the energy-integration loop, the dominant
+        full-physics cost) shards with the constrained outputs; the CG
+        matvec reduces row-local products, dots psum over ICI."""
+        if self.mesh is None:
+            return ps
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        row = NamedSharding(self.mesh, PartitionSpec("sites"))
+
+        def c(a):
+            return jax.lax.with_sharding_constraint(a, row)
+
+        return ps._replace(
+            G_nbr=c(ps.G_nbr), W_tt=c(ps.W_tt), W_ct=c(ps.W_ct),
+            W_cc=c(ps.W_cc),
+        )
+
     def _power(self, ct, element, charge, cb_edge, m_prev, Vd):
         p = self.params
         high_G = p.high_G * 100000          # kmc_main.cpp:294-302 constants
@@ -940,6 +969,7 @@ class VCMModel:
             high_G, p.low_G, loop_G, tol, p.m_e, p.V0,
             vmax=self.vmax, ne_max=self.ne_max,
         )
+        ps = self._shard_power_system(ps)
         I_macro, atom_power, m, iters = solve_power(
             ct, ps, Vd, high_G, loop_G, G0, alpha, m_prev, atom_elem
         )
@@ -1036,6 +1066,7 @@ class VCMModel:
                 res = run_event_loop(
                     element, charge, P, etype, neigh, rand_buf,
                     p.freq, act_idx=t.act_idx, abs2act=t.abs2act, ln_S=ln_S,
+                    incremental_select=self.event_select_incremental,
                 )
                 return res, etype, ln_S
 
@@ -1115,6 +1146,7 @@ class VCMModel:
         res = run_event_loop(
             element, fr.charge, P_rep, etype_rep, neigh_rep, rand_buf,
             p.freq, act_idx=t.act_idx, abs2act=t.abs2act, ln_S=fr.ln_S,
+            incremental_select=self.event_select_incremental,
         )
 
         T_new = T_bg

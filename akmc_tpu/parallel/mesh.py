@@ -179,6 +179,8 @@ class ConcernGroups:
 
     def __init__(self, model, ratio=(1, 3), n_devices: Optional[int] = None):
         self.model = model
+        self._ratio = tuple(ratio)
+        self._n_devices = n_devices
         self.mesh_k, self.mesh_pair = split_concern_groups(ratio, n_devices)
         p = model.params
 
@@ -192,24 +194,45 @@ class ConcernGroups:
             return pot, cg.iterations
 
         def _pair_side(t, element, charge_in):
-            from akmc_tpu.ops.charge import update_charge_compact
-            from akmc_tpu.ops.pairwise import pairwise_potential
+            import jax.numpy as jnp
 
+            from akmc_tpu.lattice import ELEM
+            from akmc_tpu.ops.charge import update_charge_compact
+            from akmc_tpu.ops.pairwise import (
+                pairwise_potential,
+                pairwise_potential_tiled,
+            )
+
+            v_ovf = jnp.sum(element == int(ELEM.VACANCY)) > model.vmax
             charge = update_charge_compact(
                 element, charge_in, t.neigh_idx, t.any_metal_nbr, model.vmax
             )
-            pot_pair, q_ovf = pairwise_potential(
-                t.pos, charge, p.cutoff_radius, p.sigma, p.k, qmax=model.qmax
-            )
-            return charge, pot_pair, q_ovf
+            if t.pair_tiling is not None:
+                # crossbar-scale production config: the tiled solve (the
+                # on-the-fly (N, qmax) erfc plane is the measured ~6 s
+                # path at 1M+ slots — round-2 advisor). PairTiling is O(N)
+                # ints + tile centers: cheap to replicate per group.
+                pot_pair, q_ovf, c_ovf = pairwise_potential_tiled(
+                    t.pair_tiling, model._pair_r_tile, t.pos, charge,
+                    p.cutoff_radius, p.sigma, p.k, qmax=model.qmax,
+                    cand_cap=model.pair_cand_cap,
+                )
+            else:
+                pot_pair, q_ovf = pairwise_potential(
+                    t.pos, charge, p.cutoff_radius, p.sigma, p.k,
+                    qmax=model.qmax,
+                )
+                c_ovf = jax.numpy.asarray(False)
+            return charge, pot_pair, q_ovf, c_ovf, v_ovf
 
         self._k_jit = jax.jit(_k_side)
         self._pair_jit = jax.jit(_pair_side)
 
         # each group holds its own replicated copy of the (static) tables;
         # the optional multi-GB pairwise table is dropped (the pair group
-        # computes on the fly — identical semantics, no 2x replication)
-        t = model.tables._replace(pair_gT=None, pair_tiling=None)
+        # computes tiled or on the fly — identical semantics, no 2x
+        # replication of the (NP, N) table)
+        t = model.tables._replace(pair_gT=None)
         self._t_k = jax.tree.map(
             lambda a: jax.device_put(a, replicated(self.mesh_k)), t
         )
@@ -222,7 +245,11 @@ class ConcernGroups:
 
     def fields(self, element, charge, pb_prev, T_bg, Vd):
         """Concurrent charge+K (group K) and charge+pairwise (group pair):
-        both dispatches are enqueued before either result is awaited."""
+        both dispatches are enqueued before either result is awaited.
+        Returns (charge, pot_b, pot_sum, cg_iters, q_ovf, c_ovf); the
+        caller owns cap growth on q_ovf/c_ovf (grow model.qmax /
+        model.pair_cand_cap, rebuild the groups, replay — see
+        VCMModel.superstep's loop)."""
         rep_k = replicated(self.mesh_k)
         rep_p = replicated(self.mesh_pair)
         e_k = jax.device_put(element, rep_k)
@@ -232,7 +259,42 @@ class ConcernGroups:
         c_p = jax.device_put(charge, rep_p)
         # async: neither .block_until_ready nor host pull between dispatches
         pot_b, cg_iters = self._k_jit(self._t_k, self._kop_k, e_k, c_k, pb_k, Vd)
-        charge_new, pot_pair, q_ovf = self._pair_jit(self._t_pair, e_p, c_p)
+        charge_new, pot_pair, q_ovf, c_ovf, v_ovf = self._pair_jit(
+            self._t_pair, e_p, c_p
+        )
         # combine on the pairwise group (sum_AB_into_A)
         pot_sum = pot_pair + jax.device_put(pot_b, rep_p)
-        return charge_new, pot_b, pot_sum, cg_iters, q_ovf
+        return charge_new, pot_b, pot_sum, cg_iters, q_ovf, c_ovf, v_ovf
+
+    def superstep(self, state, Vd: float, stream, rand_chunk: int = 8192):
+        """One full superstep with the field solves task-split over the two
+        groups (driver flag --concern-split), followed by the standard
+        rates+events dispatch. Same module math/order as VCMModel.superstep;
+        fp differences only from the groups' own reduction orders."""
+        model = self.model
+        charge, pot_b, pot_sum, cg_iters, q_ovf, c_ovf, v_ovf = self.fields(
+            state.element, state.charge, state.potential_boundary,
+            state.T_bg, Vd,
+        )
+        import numpy as _np
+
+        if (
+            bool(_np.asarray(q_ovf))
+            or bool(_np.asarray(c_ovf))
+            or bool(_np.asarray(v_ovf))
+        ):
+            if bool(_np.asarray(q_ovf)):
+                model.qmax *= 2
+            if bool(_np.asarray(c_ovf)):
+                model.pair_cand_cap *= 2
+            if bool(_np.asarray(v_ovf)):
+                model.vmax *= 2
+            model._invalidate_jits()
+            self.__init__(model, self._ratio, self._n_devices)
+            return self.superstep(state, Vd, stream, rand_chunk)
+        mid = state._replace(
+            charge=charge, potential_boundary=pot_b, potential_charge=pot_sum
+        )
+        new_state, stats = model.superstep_events_only(mid, stream, rand_chunk)
+        stats["cg_iterations"] = int(cg_iters)
+        return new_state, stats

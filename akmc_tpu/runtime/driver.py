@@ -95,6 +95,7 @@ def run(
     module_timing: bool = False,
     synthesize_crossbar: Optional[int] = None,
     rate_normalize: Optional[bool] = None,
+    concern_split: Optional[tuple] = None,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
 
@@ -160,6 +161,19 @@ def run(
     model = VCMModel(p, lat, rate_normalize=rate_normalize)
     state = make_device_state(lat, p.background_temp)
     kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
+
+    groups = None
+    if concern_split is not None:
+        # P7 split=true: run the K solve and the pairwise solve as
+        # concurrent dispatches on disjoint device groups (reference
+        # KMC_comm.h:132-223, default ratio {8,24}); needs >= 2 devices
+        from akmc_tpu.parallel.mesh import ConcernGroups
+
+        groups = ConcernGroups(model, ratio=concern_split)
+        out.write(
+            f"Concern groups: {groups.mesh_k.size} K-solve device(s) + "
+            f"{groups.mesh_pair.size} pairwise device(s)\n"
+        )
 
     # snapshots carry physical sites only: the grid-native crossbar layout
     # keeps NULL placeholder slots for enumeration regularity (no edges,
@@ -259,6 +273,9 @@ def run(
                 state, stats_list = model.superstep_multi(
                     state, Vd, kmc_stream, k=spd
                 )
+            elif groups is not None:
+                state, stats = groups.superstep(state, Vd, kmc_stream)
+                stats_list = [stats]
             else:
                 state, stats = model.superstep(state, Vd, kmc_stream)
                 stats_list = [stats]
@@ -408,7 +425,18 @@ def main():
         help="enable the current/power/heating branch the committed "
              "reference dead-codes (comm_T nulled)",
     )
+    ap.add_argument(
+        "--concern-split", default=None, metavar="K:P",
+        help="task-split the K and pairwise solves over disjoint device "
+             "groups in ratio K:P (reference split=true, KMC_comm.h:132-223; "
+             "their default 8:24). Needs >= 2 devices; standard superstep "
+             "path only.",
+    )
     args = ap.parse_args()
+    concern_split = None
+    if args.concern_split:
+        a, b = args.concern_split.split(":")
+        concern_split = (int(a), int(b))
     summary = run(
         args.parameters,
         workdir=args.workdir,
@@ -420,6 +448,7 @@ def main():
         steps_per_dispatch=args.steps_per_dispatch,
         module_timing=args.module_timing,
         synthesize_crossbar=args.synthesize_crossbar,
+        concern_split=concern_split,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 

@@ -144,8 +144,11 @@ def build_banded_k(
     assert ok.all()
     np.add.at(blocks, (b_idx, r_idx, w_idx), np.int8(1))
     # no two edges may share a band slot (adjacency rows hold unique cols) —
-    # a collision would have SUMMED values in the former f64 band
-    assert blocks.max() <= 1, "duplicate (row, col) edge in k_neigh_idx"
+    # a collision would have SUMMED values in the former f64 band; must
+    # survive `python -O` (a colliding edge would silently decode as code 2
+    # = the metal-metal value), so raise instead of assert (cf. build_dia_k)
+    if blocks.max() > 1:
+        raise ValueError("duplicate (row, col) edge in k_neigh_idx")
     mm_e = mm[valid]
     np.add.at(blocks, (b_idx[mm_e], r_idx[mm_e], w_idx[mm_e]), np.int8(1))
 

@@ -133,15 +133,28 @@ def _wkb_single(dist_m, dE_abs, m_e, V0):
     return jnp.where(E2 > 0, jnp.exp(expo_trap), jnp.exp(expo_tri))
 
 
-def _wkb_contact_trap(dist_m, dE_abs, m_e, V0, ne_max: int):
+def _wkb_contact_trap(dist_m, dE_abs, m_e, V0, ne_max, mask=None):
     """Energy-integrated transmission for contact<->trap pairs
     (create_X contact_to_trap branch, current_solver_gpu.cu:2229-2256).
 
-    Sums s = 0..: E1 = q*V0 + s*dE_step while s*dE_step < |dE|, fixed
-    unrolled length ne_max with masking. Shapes: broadcast over inputs.
+    Sums s = 0..: E1 = q*V0 + s*dE_step while s*dE_step < |dE| (the
+    reference's `for (iv = 0; iv < energy_window; iv += dE)` per-pair
+    loop, current_solver_gpu.cu:2238), masked over a shared iteration
+    range. ``ne_max`` may be a TRACED scalar (the per-superstep bound
+    ceil(max eligible |dE| / dE_step), solvers/current.py callers):
+    every term past a pair's own window is an exact masked zero, so
+    truncating the shared range at the max needed count is bit-identical
+    to any larger static cap while cutting the dominant full-physics
+    cost ~4x at 5 nm (2048 -> ~560 iterations at Vd=5).
+
+    ``mask`` (optional, bool, broadcastable): pairs whose integral is
+    never read — skipped via a masked exponent to keep exp() in range.
     """
     prefac = -(jnp.sqrt(2.0 * m_e) / H_BAR) * (2.0 / 3.0)
     dE_step = EV_TO_J * 0.01
+    if mask is not None:
+        dE_abs = jnp.where(mask, dE_abs, 1.0)
+        dist_m = jnp.where(mask, dist_m, 1.0)
 
     def body(s, acc):
         iv = s * dE_step
@@ -155,7 +168,18 @@ def _wkb_contact_trap(dist_m, dE_abs, m_e, V0, ne_max: int):
         term = jnp.where(E2 > 0, jnp.exp(expo_trap), jnp.exp(expo_tri))
         return acc + jnp.where(active, term, 0.0)
 
-    return jax.lax.fori_loop(0, ne_max, body, jnp.zeros_like(dist_m))
+    out = jax.lax.fori_loop(0, ne_max, body, jnp.zeros_like(dist_m))
+    return out if mask is None else jnp.where(mask, out, 0.0)
+
+
+def _ct_loop_bound(dE_abs, ok, ne_max: int):
+    """Traced shared iteration count for _wkb_contact_trap: the largest
+    per-pair window among eligible pairs, capped at the static ne_max."""
+    dE_step = EV_TO_J * 0.01
+    max_dE = jnp.max(jnp.where(ok, dE_abs, 0.0))
+    return jnp.minimum(
+        jnp.ceil(max_dE / dE_step).astype(jnp.int32) + 1, ne_max
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +265,10 @@ def build_power_system(
         )
         dE_safe = jnp.where(ok, dE, 1.0)
         if integrate:
-            T = _wkb_contact_trap(dist_m, dE_safe, m_e, V0, ne_max)
+            T = _wkb_contact_trap(
+                dist_m, dE_safe, m_e, V0,
+                _ct_loop_bound(dE, ok, ne_max), mask=ok,
+            )
         else:
             T = _wkb_single(dist_m, dE_safe, m_e, V0)
         return jnp.where(ok, T, 0.0)

@@ -191,3 +191,30 @@ metals = Ti N
     n_slots = 24 * 2 * 8 * 8
     assert len(e0) < n_slots
     assert len(e0) >= 24 * 64
+
+
+def test_concern_split_driver(tmp_path, monkeypatch):
+    """--concern-split K:P: the K and pairwise solves run as concurrent
+    dispatches on disjoint device groups inside the driver loop (reference
+    split=true, KMC_comm.h:132-223) and reproduce the sequential
+    trajectory."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from akmc_tpu.postprocessing.extract import parse_output_txt
+    from akmc_tpu.runtime import driver
+
+    deck, p = _write_toy_deck(tmp_path, t_switch=1e3)
+    _patch_layers(monkeypatch, p)
+    driver.run(str(deck), workdir=str(tmp_path / "a"), max_supersteps=3, log=False)
+    driver.run(
+        str(deck), workdir=str(tmp_path / "b"), max_supersteps=3, log=False,
+        concern_split=(1, 3),
+    )
+    da = parse_output_txt(str(tmp_path / "a" / "output1_0.txt"))
+    db = parse_output_txt(str(tmp_path / "b" / "output1_0.txt"))
+    assert db.kmc_times == da.kmc_times          # identical trajectory
+    out = open(tmp_path / "b" / "output1_0.txt").read()
+    assert "Concern groups: 2 K-solve device(s) + 6 pairwise device(s)" in out

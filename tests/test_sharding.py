@@ -175,9 +175,10 @@ def test_concern_group_split_matches_sequential():
     assert not (
         set(groups.mesh_k.devices.ravel()) & set(groups.mesh_pair.devices.ravel())
     )
-    charge, pot_b, pot_sum, cg_iters, q_ovf = groups.fields(
+    charge, pot_b, pot_sum, cg_iters, q_ovf, c_ovf, v_ovf = groups.fields(
         state.element, state.charge, state.potential_boundary, state.T_bg, Vd
     )
+    assert not bool(np.asarray(c_ovf)) and not bool(np.asarray(v_ovf))
     np.testing.assert_array_equal(np.asarray(charge), np.asarray(fr.charge))
     np.testing.assert_allclose(
         np.asarray(pot_b), np.asarray(fr.potential_boundary), rtol=1e-10, atol=1e-12
