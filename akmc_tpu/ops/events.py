@@ -443,6 +443,275 @@ def run_event_loop(
     )
 
 
+def _topk_smallest(tau: jnp.ndarray, B: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact B smallest entries of tau (values, indices), two-stage:
+    top-B blocks by block-min, then top-B inside the gathered block
+    contents. Exact: a top-B element's block min is <= the element, so if
+    its block ranked below the top-B blocks there would be >= B strictly
+    smaller elements. Avoids a full-length top_k on the (NA,) f64 vector
+    (lax.top_k sorts; two short top_ks + one contiguous row gather are
+    cheaper on a runtime with ~70M elem/s gathers)."""
+    n = tau.shape[0]
+    blk = 256
+    if n % blk or n <= 4 * blk:
+        neg, idx = lax.top_k(-tau, B)
+        return -neg, idx
+    nb = n // blk
+    bmin = jnp.min(tau.reshape(nb, blk), axis=1)
+    _, bsel = lax.top_k(-bmin, B)                  # B best blocks
+    cand = tau.reshape(nb, blk)[bsel].reshape(-1)  # (B*blk,) contiguous rows
+    neg, ci = lax.top_k(-cand, B)
+    idx = bsel[ci // blk] * blk + ci % blk
+    return -neg, idx
+
+
+class BatchedLoopResult(NamedTuple):
+    element: jnp.ndarray
+    charge: jnp.ndarray
+    P: jnp.ndarray
+    event_time: jnp.ndarray
+    n_events: jnp.ndarray
+    n_batches: jnp.ndarray
+    done: jnp.ndarray
+
+
+def run_event_loop_batched(
+    element: jnp.ndarray,
+    charge: jnp.ndarray,
+    P: jnp.ndarray,            # (R, NN) rate table (consumed/mutated)
+    etype: jnp.ndarray,
+    neigh_idx: jnp.ndarray,
+    key: jax.Array,
+    freq: float,
+    batch: int = 64,
+    max_batches: int = 1 << 14,
+    act_idx: jnp.ndarray = None,
+    abs2act: jnp.ndarray = None,
+    ln_S=None,
+    mass_eps: float = 1e-3,
+) -> BatchedLoopResult:
+    """Multi-event batches via the exponential-race (next-reaction)
+    formulation of the residence-time algorithm — the crossbar-scale
+    answer to the serial one-event-per-iteration wall (~0.39 ms/event of
+    op-count overhead at 1M+ slots, PERF_NOTES round 3; the reference's
+    loop is also serial, kmc_events.cu:448-516).
+
+    Exactness argument (production/threefry mode — not reference-stream
+    parity, which stays on the serial loop):
+
+      * Per-row clocks tau_i = -ln(u_i)/R_i realize the exponential race:
+        (argmin, min-gap) is distributed exactly as (selection ~ rates,
+        waiting time ~ Exp(total)) — the serial law.
+      * Slot choice within a winning row uses the row's batch-start rates.
+        Rates only DECREASE within a superstep (the loop only zeroes
+        executed pairs; rebuild happens next superstep), so by the
+        thinning identity  select~stale + accept-iff-alive == thin to
+        current total + select~current  the composition is exact.
+      * Candidates are processed in tau order and the batch is CUT at the
+        first candidate whose row lies in any earlier candidate's touched
+        row set (the serial zero-out's ar set): before the cut no
+        accepted row's rates were touched, so every accepted clock and
+        slot draw is exact. Cut events' clocks are redrawn next batch —
+        exact by memorylessness.
+      * The one inexactness: accepted events zero rate mass elsewhere, so
+        later gaps in the SAME batch race against a total that is stale
+        by the killed mass. The batch is additionally cut when the
+        cumulative killed mass exceeds ``mass_eps`` of the total, bounding
+        the relative gap-law distortion by mass_eps (default 1e-3).
+        Batches restart with fresh rates, so the distortion does not
+        accumulate.
+
+    Termination matches the committed loop: the first accepted gap
+    >= 1/freq executes its event, returns that gap as event_time and
+    stops (kmc_events.cu:448-516 executes first, draws after)."""
+    n, nn = P.shape
+    inv_freq = 1.0 / freq
+    B = batch
+    R0 = jnp.sum(P, axis=1)
+
+    def cond(c):
+        element, charge, P, R, key, ev_time, n_ev, n_b, done = c
+        return (~done) & (n_b < max_batches)
+
+    def body(c):
+        element, charge, P, R, key, ev_time, n_ev, n_b, done = c
+        key, k_clk, k_slot = jax.random.split(key, 3)
+
+        # 1. per-row clocks at batch-start rates. In shifted-exponent mode
+        # R~ = R/S with ln S carried: tau~ = tau*S keeps every clock in the
+        # emulated-f64 exponent range (R~ <= NN); gaps are rescaled by S in
+        # log space only at the termination test.
+        u = jax.random.uniform(k_clk, (n,), dtype=P.dtype)
+        tau = -jnp.log(u) / R                  # inf on zero-rate rows
+        total = jnp.sum(R)
+        ok = total > 0.0
+
+        tau_b, rows_b = _topk_smallest(tau, B)
+
+        # 2. slot per candidate from the (stale = current, untouched) rows
+        rows_P = P[rows_b]                                  # (B, NN)
+        cumr = jnp.cumsum(rows_P, axis=1)
+        rowtot = cumr[:, -1]
+        t_slot = jax.random.uniform(k_slot, (B,), dtype=P.dtype) * rowtot
+        slot_b = jnp.clip(
+            jnp.sum(cumr < t_slot[:, None], axis=1).astype(jnp.int32), 0, nn - 1
+        )
+
+        isel_b = rows_b if act_idx is None else act_idx[rows_b].clip(0)
+        jsel_b = neigh_idx[rows_b, slot_b].clip(0)
+        ety_b = etype[rows_b, slot_b]
+
+        # 3. touched row set per candidate (the serial ar set)
+        if act_idx is None:
+            jrow_b = jsel_b
+            ar_b = jnp.concatenate(
+                [
+                    jnp.stack([rows_b, jrow_b], 1),
+                    neigh_idx[rows_b].clip(0),
+                    neigh_idx[jrow_b].clip(0),
+                ],
+                axis=1,
+            )                                               # (B, 2 + 2*NN)
+        else:
+            jrow_b = abs2act[jsel_b]
+            ar_b = jnp.concatenate(
+                [
+                    jnp.stack([rows_b, jrow_b], 1),
+                    abs2act[neigh_idx[rows_b].clip(0)],
+                    abs2act[neigh_idx[jrow_b].clip(0)],
+                ],
+                axis=1,
+            )
+
+        # 4. exact prefix cut: first candidate whose row an earlier
+        # candidate touches (strict lower-triangular any)
+        touch = jnp.any(rows_b[None, :, None] == ar_b[:, None, :], axis=2)
+        lower = jnp.tril(jnp.ones((B, B), bool), k=-1)
+        conflicted = jnp.any(touch.T & lower, axis=1)       # (B,) ∃i<j touch(i,j)
+
+        # killed-mass staleness bound: pairs killed by candidate i live in
+        # rows untouched by other accepted candidates (else the cut fired),
+        # so per-candidate killed masses are disjoint and their cumsum is
+        # the exact total-rate decrease
+        ar_P = P[ar_b]                                      # (B, 106, NN)
+        ar_nbr = neigh_idx[ar_b]
+        kill_b = (
+            (ar_b == rows_b[:, None])[:, :, None]
+            | (ar_b == jrow_b[:, None])[:, :, None]
+            | (ar_nbr == isel_b[:, None, None])
+            | (ar_nbr == jsel_b[:, None, None])
+        )
+        killed_mass = jnp.sum(jnp.where(kill_b, ar_P, 0.0), axis=(1, 2))
+        mass_ok = (
+            jnp.cumsum(killed_mass) - killed_mass
+        ) <= mass_eps * total                               # mass killed BEFORE i
+
+        # finite clock + no invalid rows (padded/zero-rate never win unless
+        # the table is empty)
+        valid = jnp.isfinite(tau_b) & (rowtot > 0.0) & ok
+        acceptable = valid & ~conflicted & mass_ok
+        # accept the maximal all-acceptable prefix
+        acc_prefix = jnp.cumprod(acceptable.astype(jnp.int32)) == 1  # (B,)
+
+        # 5. termination: first accepted gap >= 1/freq executes, then stops
+        gaps = jnp.diff(tau_b, prepend=jnp.zeros(1, tau_b.dtype))
+        if ln_S is None:
+            big = gaps >= inv_freq
+        else:
+            big = jnp.log(jnp.maximum(gaps, 1e-300)) - ln_S >= jnp.log(inv_freq)
+        first_big = jnp.argmax(big & acc_prefix)
+        has_big = jnp.any(big & acc_prefix)
+        accept = acc_prefix & (
+            jnp.arange(B) <= jnp.where(has_big, first_big, B - 1)
+        )
+
+        n_acc = jnp.sum(accept.astype(jnp.int32))
+
+        # 6. execute accepted events (vectorized; sites pairwise disjoint —
+        # overlap would have tripped the row-touch cut)
+        w = accept
+        ei = element[isel_b]
+        ej = element[jsel_b]
+        qi = charge[isel_b]
+        qj = charge[jsel_b]
+        gen = ety_b == int(EVENT.VACANCY_GENERATION)
+        rec = ety_b == int(EVENT.VACANCY_RECOMBINATION)
+        swap = (ety_b == int(EVENT.VACANCY_DIFFUSION)) | (
+            ety_b == int(EVENT.ION_DIFFUSION)
+        )
+        new_ei = jnp.where(
+            gen, int(ELEM.OXYGEN_DEFECT),
+            jnp.where(rec, int(ELEM.DEFECT), jnp.where(swap, ej, ei)),
+        )
+        new_ej = jnp.where(
+            gen, int(ELEM.VACANCY),
+            jnp.where(rec, int(ELEM.O), jnp.where(swap, ei, ej)),
+        )
+        new_qi = jnp.where(gen, -2, jnp.where(rec, 0, jnp.where(swap, qj, qi)))
+        new_qj = jnp.where(gen, 2, jnp.where(rec, 0, jnp.where(swap, qi, qj)))
+        # rejected candidates may SHARE a site with an accepted one (that is
+        # what got them rejected) — scatter only accepted writes (mode=drop
+        # on an out-of-range sentinel), or a rejected write could clobber an
+        # accepted update
+        nsites = element.shape[0]
+        wi = jnp.where(w, isel_b, nsites)
+        wj = jnp.where(w, jsel_b, nsites)
+        element = element.at[wi].set(new_ei.astype(element.dtype), mode="drop")
+        element = element.at[wj].set(new_ej.astype(element.dtype), mode="drop")
+        charge = charge.at[wi].set(new_qi.astype(charge.dtype), mode="drop")
+        charge = charge.at[wj].set(new_qj.astype(charge.dtype), mode="drop")
+
+        # 7. zero-out: each gathered ar row's new value accounts for ALL
+        # accepted events, so duplicate rows across candidates scatter
+        # identical values (last-writer-wins is safe)
+        kill_all = (
+            (ar_b[:, :, None] == jnp.where(w, rows_b, -1)[None, None, :])
+            | (ar_b[:, :, None] == jnp.where(w, jrow_b, -1)[None, None, :])
+        ).any(axis=2)[:, :, None] | (
+            (ar_nbr[:, :, :, None] == jnp.where(w, isel_b, -1)[None, None, None, :])
+            | (ar_nbr[:, :, :, None] == jnp.where(w, jsel_b, -1)[None, None, None, :])
+        ).any(axis=3)
+        new_rows = jnp.where(kill_all, 0.0, ar_P)
+        ar_flat = ar_b.reshape(-1)
+        P = P.at[ar_flat].set(new_rows.reshape(-1, nn))
+        R = R.at[ar_flat].set(jnp.sum(new_rows, axis=2).reshape(-1))
+
+        # event_time: the terminating gap (committed semantics return only
+        # the loop-breaking waiting time); in shifted mode rescale by S in
+        # log space
+        last_gap = gaps[jnp.where(has_big, first_big, B - 1)]
+        if ln_S is None:
+            t_out = last_gap
+        else:
+            t_out = jnp.exp(
+                jnp.log(jnp.maximum(last_gap, 1e-300)) - ln_S
+            )
+        done_now = has_big | ~ok
+        ev_time = jnp.where(done_now, jnp.where(ok, t_out, jnp.inf), ev_time)
+        return (
+            element, charge, P, R, key,
+            ev_time,
+            (n_ev + jnp.where(ok, n_acc, 0)).astype(jnp.int32),
+            n_b + jnp.asarray(1, jnp.int32),
+            done_now,
+        )
+
+    init = (
+        element, charge, P, R0, key,
+        jnp.asarray(0.0, P.dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+    )
+    element, charge, P, R, key, ev_time, n_ev, n_b, done = lax.while_loop(
+        cond, body, init
+    )
+    return BatchedLoopResult(
+        element=element, charge=charge, P=P, event_time=ev_time,
+        n_events=n_ev, n_batches=n_b, done=done,
+    )
+
+
 def run_event_loop_native(
     element: jnp.ndarray,
     charge: jnp.ndarray,

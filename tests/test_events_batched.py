@@ -1,0 +1,192 @@
+"""Multi-event batched residence-time loop (production/threefry mode).
+
+The serial loop executes one event per while-iteration; at crossbar scale
+that is ~0.39 ms/event of op-count overhead (PERF_NOTES round 3). The
+batched loop (ops/events.py::run_event_loop_batched) amortizes selection
+into exponential-race batches with an exact prefix-conflict cut. These
+tests pin its invariants, its degenerate-case equality with the serial
+loop, and its statistical agreement at toy scale; the crossbar production
+regression is pinned in test_crossbar.py style below.
+
+Reference: the loop being replaced mirrors execute_kmc_step_mpi
+(kmc_events.cu:430-528) — the reference's own loop is serial too.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from akmc_tpu.lattice import ELEM, EVENT
+from akmc_tpu.models.vcm import VCMModel
+from akmc_tpu.rng import BufferedStream, ReferenceRNG
+from akmc_tpu.state import make_device_state, make_substoichiometric
+
+from tests.test_events_loop import crafted  # noqa: F401  (fixture)
+
+
+def _counts(el):
+    return {
+        "V-Od": (el == int(ELEM.VACANCY)).sum()
+        - (el == int(ELEM.OXYGEN_DEFECT)).sum(),
+        "O+V": (el == int(ELEM.O)).sum() + (el == int(ELEM.VACANCY)).sum(),
+        "d+Od": (el == int(ELEM.DEFECT)).sum()
+        + (el == int(ELEM.OXYGEN_DEFECT)).sum(),
+    }
+
+
+def test_batched_loop_invariants(crafted):  # noqa: F811
+    """Termination semantics, conservation invariants, determinism."""
+    from akmc_tpu.ops.events import run_event_loop_batched
+
+    element, charge, P, etype, neigh_idx = crafted
+    freq = 1e14
+
+    def run(key, batch):
+        return run_event_loop_batched(
+            jnp.asarray(element), jnp.asarray(charge), jnp.asarray(P),
+            jnp.asarray(etype), jnp.asarray(neigh_idx),
+            jax.random.PRNGKey(key), freq, batch=batch,
+        )
+
+    res = run(0, 8)
+    assert bool(res.done)
+    assert int(res.n_events) >= 1
+    assert int(res.n_batches) >= 1
+    assert float(res.event_time) >= 1.0 / freq
+    el = np.asarray(res.element)
+    # every event class preserves these species sums
+    assert _counts(el) == _counts(element)
+
+    # determinism under a fixed key
+    res2 = run(0, 8)
+    np.testing.assert_array_equal(np.asarray(res.element), el)
+    assert int(res2.n_events) == int(res.n_events)
+    assert float(res2.event_time) == float(res.event_time)
+
+    # a different batch size is a different (but valid) trajectory
+    res3 = run(0, 4)
+    assert bool(res3.done)
+    assert _counts(np.asarray(res3.element)) == _counts(element)
+
+
+def test_batched_single_candidate_matches_serial():
+    """With exactly one nonzero rate both loops MUST execute that event
+    and then terminate on the empty table — trajectory equality in the
+    only deterministic case."""
+    from akmc_tpu.ops.events import run_event_loop, run_event_loop_batched
+
+    n, nn = 32, 4
+    neigh_idx = np.full((n, nn), -1, np.int32)
+    for i in range(n):
+        neigh_idx[i, 0] = (i + 1) % n
+        neigh_idx[i, 1] = (i - 1) % n
+    element = np.full(n, int(ELEM.O), np.int32)
+    element[5] = int(ELEM.VACANCY)
+    charge = np.zeros(n, np.int32)
+    charge[5] = 2
+    P = np.zeros((n, nn))
+    etype = np.full((n, nn), int(EVENT.NULL_EVENT), np.int32)
+    P[5, 0] = 3e13                      # V at 5 diffuses to O at 6 — only event
+    etype[5, 0] = int(EVENT.VACANCY_DIFFUSION)
+
+    freq = 1e14
+    res_b = run_event_loop_batched(
+        jnp.asarray(element), jnp.asarray(charge), jnp.asarray(P),
+        jnp.asarray(etype), jnp.asarray(neigh_idx),
+        jax.random.PRNGKey(7), freq, batch=8,
+    )
+    rands = ReferenceRNG(1).uniform(64)
+    res_s = run_event_loop(
+        jnp.asarray(element), jnp.asarray(charge), jnp.asarray(P),
+        jnp.asarray(etype), jnp.asarray(neigh_idx), jnp.asarray(rands), freq,
+    )
+    np.testing.assert_array_equal(np.asarray(res_b.element), np.asarray(res_s.element))
+    np.testing.assert_array_equal(np.asarray(res_b.charge), np.asarray(res_s.charge))
+    assert int(res_b.n_events) == int(res_s.n_events) == 1
+    # the executed pair is zeroed in both
+    assert float(np.asarray(res_b.P).sum()) == 0.0
+    # committed termination semantics: either the executed event's waiting
+    # time broke the loop (finite, >= 1/freq) or the emptied table
+    # terminated it with an inf time — for each loop independently (the
+    # waiting-time draws are from different streams)
+    for t in (float(res_b.event_time), float(res_s.event_time)):
+        assert (not np.isfinite(t)) or t >= 1.0 / freq
+
+
+def test_batched_superstep_statistics_toy():
+    """superstep_native_batched on the toy device: runs end-to-end, and
+    over several supersteps executes an event total comparable to the
+    serial native path from the same initial state (same physics, both
+    exact samplers of the same law — only the streams differ)."""
+    from tests.util_toy import toy_device
+
+    p, lat = toy_device()
+    Vd = 2.0
+
+    def run_batched(steps=6):
+        model = VCMModel(p, lat)
+        state = make_device_state(lat, p.background_temp)
+        key = jax.random.PRNGKey(42)
+        tot = 0
+        for _ in range(steps):
+            state, stats, key = model.superstep_native_batched(
+                state, Vd, key, batch=8
+            )
+            tot += stats["n_events"]
+        return tot, state
+
+    def run_serial(steps=6):
+        model = VCMModel(p, lat)
+        state = make_device_state(lat, p.background_temp)
+        key = jax.random.PRNGKey(41)
+        tot = 0
+        for _ in range(steps):
+            state, stats, key = model.superstep_native(state, Vd, key)
+            tot += stats["n_events"]
+        return tot, state
+
+    tb, sb = run_batched()
+    ts, ss = run_serial()
+    assert tb >= 1 and ts >= 1
+    # same law, different stream: totals agree within a loose factor
+    assert 0.3 <= (tb + 1) / (ts + 1) <= 3.0
+    assert np.isfinite(float(sb.kmc_time))
+    assert _counts(np.asarray(sb.element)) == _counts(np.asarray(ss.element))
+
+
+def test_batched_crossbar_production_regression():
+    """Pinned trajectory for the crossbar production config under the
+    BATCHED loop (deterministic under a fixed key) — guards the
+    multi-event path against silent regressions, the batched-mode
+    extension of test_crossbar.py::test_grid_crossbar_production_path_regression."""
+    from akmc_tpu.models.crossbar import build_grid_crossbar
+
+    p, lat = build_grid_crossbar(
+        n_yz=8, contact_slices=3, oxide_slices=8, ti_slices=3,
+        defect_fraction=0.2, vacancy_concentration=0.1, seed=11,
+    )
+    model = VCMModel(
+        p, lat, rate_normalize=True, pair_table_budget=0, pair_tiling_min_n=1
+    )
+    assert model.dia is not None and model.tables.pair_tiling is not None
+    state = make_device_state(lat, p.background_temp)
+    key = jax.random.PRNGKey(3)
+    events, batches = [], []
+    for _ in range(3):
+        state, stats, key = model.superstep_native_batched(
+            state, 15.0, key, batch=16
+        )
+        events.append(stats["n_events"])
+        batches.append(stats["n_batches"])
+    assert all(e >= 1 for e in events)
+    assert np.isfinite(float(state.kmc_time))
+    # At this toy scale (few hundred active rows) candidate neighborhoods
+    # overlap constantly, so the exact prefix cut keeps batches short —
+    # amortization (events/batch >> 1) is a scale property measured at the
+    # 1M+-slot crossbar (BENCH_crossbar_r03). Here we pin the trajectory:
+    # deterministic under the fixed key. Re-pin consciously after any
+    # intentional change to the batched selection math.
+    assert events == [13, 13, 14], (events, batches)
+    np.testing.assert_allclose(float(state.kmc_time), float(state.kmc_time))
+    assert sum(batches) >= 3
