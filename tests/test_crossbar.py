@@ -91,3 +91,46 @@ def test_grid_crossbar_production_path_regression():
     assert events == [13, 13, 15]
     assert cg == [68, 83, 56]
     np.testing.assert_allclose(float(state.kmc_time), 457.239148068819, rtol=1e-9)
+
+
+def test_normalized_rates_cross_validated_at_moderate_bias():
+    """Independent oracle for the production (rate_normalize) path at the
+    crossbar structure class and a bias where BOTH formulations are in
+    range on CPU's true-f64 (Vd=8: |EA/kT| < 700 everywhere): the
+    shifted-exponent trajectory must equal the absolute-rate trajectory
+    event-for-event. Upgrades the Vd=15 self-pinned regression (where the
+    absolute path overflows even real f64) to cross-validated status.
+    Reference rate formula: kmc_events.cu:150."""
+    from akmc_tpu.models.crossbar import build_grid_crossbar
+
+    p, lat = build_grid_crossbar(
+        n_yz=12, contact_slices=3, oxide_slices=8, ti_slices=3,
+        defect_fraction=0.2, vacancy_concentration=0.1, seed=11,
+    )
+
+    def run(normalize):
+        model = VCMModel(
+            p, lat, rate_normalize=normalize, pair_table_budget=0,
+            pair_tiling_min_n=1,
+        )
+        state = make_device_state(lat, p.background_temp)
+        stream = BufferedStream(ReferenceRNG(2))
+        ev = []
+        for _ in range(2):
+            state, stats = model.superstep(state, 8.0, stream)
+            ev.append(stats["n_events"])
+        return state, ev
+
+    s_abs, ev_abs = run(False)
+    s_norm, ev_norm = run(True)
+    assert ev_abs == ev_norm and sum(ev_abs) >= 2
+    np.testing.assert_array_equal(
+        np.asarray(s_abs.element), np.asarray(s_norm.element)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_abs.charge), np.asarray(s_norm.charge)
+    )
+    # waiting times reconstructed in log space agree to fp-reassociation
+    np.testing.assert_allclose(
+        float(s_norm.kmc_time), float(s_abs.kmc_time), rtol=1e-12
+    )

@@ -71,6 +71,41 @@ def test_sharded_5nm_superstep_matches_golden_sequence(real_5nm):
 
 
 @pytest.mark.slow
+def test_sharded_full_physics_5nm(real_5nm):
+    """Full-physics superstep (charge -> K -> pairwise -> CURRENT/POWER ->
+    events) sharded over a 6-device mesh at the REAL 37k-site scale with the
+    real vmax: the tunnel blocks row-shard (VCMModel._shard_power_system)
+    and the result matches the committed TPU full-physics artifact
+    (driver --full-physics on the 5 nm deck: step-1 I_macro =
+    3.936960569889327e-06 A, 3 events, kmc_time 2.9105e-14 — /tmp run
+    recorded in PERF_NOTES round 3). Cross-platform CG agreement at the
+    1e-16 rtol coefficient bounds I_macro drift ~1e-8 (the measured
+    tolerance ladder, test_current_oracle)."""
+    import dataclasses
+
+    p, lat = real_5nm
+    p = dataclasses.replace(p, solve_current=True)
+    n_dev = 6
+    model = VCMModel(p, lat, act_pad=256 * n_dev)
+    mesh = make_mesh(n_dev)
+    shard_model(model, mesh)
+    state = make_device_state(lat, p.background_temp)
+    state = replicate_state(state, mesh)
+    stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
+
+    state = model.update_cb_edge(state, p.V_switch[0])
+    state, stats, m_warm = model.superstep_full(state, p.V_switch[0], stream)
+
+    assert stats["n_events"] == 3                    # golden first superstep
+    np.testing.assert_allclose(float(state.kmc_time), 2.9105250213675685e-14,
+                               rtol=1e-6)
+    np.testing.assert_allclose(stats["I_macro"], 3.936960569889327e-06,
+                               rtol=1e-6)
+    assert stats["P_tot"] > 0.0
+    assert np.isfinite(np.asarray(m_warm)).all()
+
+
+@pytest.mark.slow
 def test_sharded_collective_pattern(real_5nm):
     """Inspect the sharded executable's HLO: CG dots must lower to
     all-reduce; the event while-loop must NOT all-gather the full (NA, NN)
