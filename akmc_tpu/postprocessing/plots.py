@@ -28,14 +28,30 @@ def _mpl():
 
 
 def plot_iv(output_txt: str, out_png: str = "iv.png"):
-    """I-V hysteresis (plot_IV.py equivalent): current at end of each bias
-    point vs applied voltage."""
+    """I-V hysteresis (plot_IV.py equivalent): the LAST current logged
+    within each bias point vs applied voltage — the reference scraper
+    keeps current_track[-1] at every "Applied Voltage =" line
+    (plot_IV.py:26-38), i.e. the end-of-bias current, so multi-superstep
+    bias points contribute one point each."""
     plt = _mpl()
-    d = parse_output_txt(output_txt)
-    n = min(len(d.voltages), len(d.currents_uA))
+    # the reference scraper's exact state machine: at each new bias line,
+    # record the last current seen so far; one final record at EOF
+    vs, cs = [], []
+    track = []
+    with open(output_txt) as f:
+        for line in f:
+            if "Applied Voltage =" in line:
+                vs.append(float(line.split()[3]))
+                if track and len(cs) < len(vs) - 1:
+                    cs.append(track[-1])
+            elif "Current [uA]:" in line:
+                track.append(float(line.split()[-1]))
+    if track:
+        cs.append(track[-1])
+    n = min(len(vs), len(cs))
     fig, ax = plt.subplots(figsize=(5, 4))
     if n:
-        ax.semilogy(d.voltages[:n], np.abs(d.currents_uA[:n]), "o-")
+        ax.semilogy(vs[:n], [abs(c) for c in cs[:n]], "o-")
     ax.set_xlabel("Applied Voltage [V]")
     ax.set_ylabel("|I| [uA]")
     fig.tight_layout()
