@@ -64,28 +64,53 @@ def main():
     state = make_device_state(lat, p.background_temp)
     stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
     Vd = 15.0   # 40 nm deck bias
+    batched = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--batched"):
+            batched = int(a.split("=")[1]) if "=" in a else 64
+
+    # AOT warmup: compile the fused step AND the event-loop re-entry
+    # executable up front (the re-entry compile historically landed as a
+    # surprise inside crossbar step 0 — BENCH_crossbar_full40nm_r02), so
+    # the first superstep pays only the cold zero-guess CG. Persistent
+    # cache makes later runs at this scale skip compiles entirely.
+    t0 = time.perf_counter()
+    compile_s = model.warmup(state, Vd)
+    t_warm = time.perf_counter() - t0
+    print(f"[warmup] {t_warm:.1f}s compiles: "
+          + ", ".join(f"{k}={v:.0f}s" for k, v in compile_s.items()),
+          file=sys.stderr)
 
     t0 = time.perf_counter()
     state, stats = model.superstep(state, Vd, stream)
     t_first = time.perf_counter() - t0
     print(
-        f"[first superstep] {t_first:.1f}s (compile + cold CG: "
+        f"[first superstep] {t_first:.1f}s (cold CG: "
         f"{stats['cg_iterations']} iters), events={stats['n_events']}",
         file=sys.stderr,
     )
 
+    import jax as _jax
+
+    key = _jax.random.PRNGKey(7)
     times = []
+    steps = []
     for i in range(n_steps):
         t0 = time.perf_counter()
-        state, stats = model.superstep(state, Vd, stream)
+        if batched:
+            state, stats, key = model.superstep_native_batched(
+                state, Vd, key, batch=batched
+            )
+        else:
+            state, stats = model.superstep(state, Vd, stream)
         dt = time.perf_counter() - t0
         times.append(dt)
         assert stats["n_events"] >= 1, "rates died"
-        print(
-            f"[step {i}] {dt:.3f}s events={stats['n_events']} "
-            f"cg={stats['cg_iterations']}",
-            file=sys.stderr,
-        )
+        steps.append({"step": i, "s": round(dt, 3),
+                      "events": stats["n_events"],
+                      "cg": stats["cg_iterations"],
+                      **({"batches": stats["n_batches"]} if batched else {})})
+        print(f"[step {i}] {steps[-1]}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -95,8 +120,11 @@ def main():
                 "n_sites": int((np.asarray(lat.element0) != 9).sum()),
                 "value": float(np.median(times)),
                 "unit": "s",
-                "first_superstep_s": t_first,
-                "build_s": t_build,
+                "event_loop": f"batched B={batched}" if batched else "serial",
+                "warmup_compile_s": round(t_warm, 1),
+                "first_superstep_s": round(t_first, 1),
+                "build_s": round(t_build, 1),
+                "steps": steps,
             }
         )
     )
