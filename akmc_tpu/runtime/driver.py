@@ -197,6 +197,7 @@ def run(
 
     total_steps = 0
     t_code_start = time.perf_counter()
+    visited_biases = set()
 
     for vt_counter, Vd in enumerate(p.V_switch):
         if vt_counter < resume_vt:
@@ -210,6 +211,13 @@ def run(
             state = model.update_cb_edge(state, Vd)
 
         folder = os.path.join(workdir, f"Results_{Vd:.6f}")
+        # hysteresis sweeps revisit bias values (e.g. an up/down staircase);
+        # the reference's by-value naming would overwrite the earlier
+        # branch's snapshots (its shipped decks are monotone so it never
+        # hits this) — suffix repeat visits with the bias-point index
+        if Vd in visited_biases:
+            folder = os.path.join(workdir, f"Results_{Vd:.6f}_{vt_counter}")
+        visited_biases.add(Vd)
         os.makedirs(folder, exist_ok=True)
         # reference logs the RELATIVE folder name (kmc_main.cpp writes the
         # bare "Results_<V>"); keep the line byte-compatible for scrapers

@@ -61,43 +61,45 @@ def main():
     from akmc_tpu.ops.charge import update_charge_compact
     from akmc_tpu.ops.events import build_event_table
 
-    t = model.tables
-
     def fields_variant(skip):
-        def step(carry, i):
-            element, charge, pb = carry
-            Vd = p.V_switch[0] + i.astype(jnp.float64) * 1e-13
-            charge = update_charge_compact(
-                element, charge, t.neigh_idx, t.any_metal_nbr, model.vmax
-            )
-            if skip == "K":
-                pot_b, cg_it = pb, jnp.asarray(0, jnp.int32)
-            else:
-                pot_b, cg = model._solve_boundary(
-                    model.kop, t, element, charge, pb, Vd
+        # ALL big arrays enter as jit ARGUMENTS (t, kop) — closed-over
+        # arrays bake in as constants (6.3 GB captured + ~600x slower per
+        # call through the tunnel, CLAUDE.md)
+        def run(t, kop, element, charge, pb):
+            def step(carry, i):
+                element, charge, pb = carry
+                Vd = p.V_switch[0] + i.astype(jnp.float64) * 1e-13
+                charge = update_charge_compact(
+                    element, charge, t.neigh_idx, t.any_metal_nbr, model.vmax
                 )
-                cg_it = cg.iterations
-            if skip == "pair":
-                pot_pair = jnp.zeros_like(pot_b)
-            else:
-                pot_pair, _ = pairwise_potential_table(
-                    t.pair_gT, t.abs2act, charge, model.qmax
-                )
-            pot_sum = pot_pair + pot_b
-            if skip == "rates":
-                s = jnp.sum(pot_sum) * 1e-300
-            else:
-                P, etype = build_event_table(
-                    element, charge, pot_sum, jnp.asarray(300.0, jnp.float64),
-                    t.act_neigh, t.act_self2, t.act_layer,
-                    t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
-                    p.freq, p.sigma, p.k, rows=t.act_idx,
-                )
-                s = jnp.sum(P) * 1e-300
-            return (element, charge + (s != 0.0).astype(charge.dtype) * 0,
-                    pot_b), cg_it
+                if skip == "K":
+                    pot_b, cg_it = pb, jnp.asarray(0, jnp.int32)
+                else:
+                    pot_b, cg = model._solve_boundary(
+                        kop, t, element, charge, pb, Vd
+                    )
+                    cg_it = cg.iterations
+                if skip == "pair":
+                    pot_pair = jnp.zeros_like(pot_b)
+                else:
+                    pot_pair, _ = pairwise_potential_table(
+                        t.pair_gT, t.abs2act, charge, model.qmax
+                    )
+                pot_sum = pot_pair + pot_b
+                if skip == "rates":
+                    s = jnp.sum(pot_sum) * 1e-300
+                else:
+                    P, etype = build_event_table(
+                        element, charge, pot_sum,
+                        jnp.asarray(300.0, jnp.float64),
+                        t.act_neigh, t.act_self2, t.act_layer,
+                        t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
+                        p.freq, p.sigma, p.k, rows=t.act_idx,
+                    )
+                    s = jnp.sum(P) * 1e-300
+                return (element, charge + (s != 0.0).astype(charge.dtype) * 0,
+                        pot_b), cg_it
 
-        def run(element, charge, pb):
             (element, charge, pb), its = jax.lax.scan(
                 step, (element, charge, pb), jnp.arange(k)
             )
@@ -115,7 +117,7 @@ def main():
             ch = state.charge
             pb = state.potential_boundary + r * 1e-15   # defeat result cache
             t0 = time.perf_counter()
-            ch2, pb2, its = fn(el, ch, pb)
+            ch2, pb2, its = fn(model.tables, model.kop, el, ch, pb)
             _ = float(jnp.sum(ch2)) + float(jnp.sum(pb2))   # forced pull
             dt = (time.perf_counter() - t0) / k
             if r:                                            # drop warm-up
