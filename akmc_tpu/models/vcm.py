@@ -45,8 +45,10 @@ from akmc_tpu.solvers.current import (
 from akmc_tpu.solvers.banded import (
     BandedK,
     BandMeta,
+    KCarry,
     build_banded_k,
     solve_potential_boundary_banded,
+    solve_potential_boundary_banded_carry,
 )
 from akmc_tpu.solvers.dia import (
     DiaK,
@@ -90,6 +92,10 @@ class StaticTables(NamedTuple):
     act_neigh: jax.Array          # (NA, NN) absolute neighbor ids, -1 padded
     act_self2: jax.Array          # (NA, NN)
     act_layer: jax.Array          # (NA, NN)
+    act_zero_rows: jax.Array      # (NA, 1+NN) static zero-out row set per
+    #                               row: {r} ∪ abs2act[neigh[r]] — the event
+    #                               loop's per-event touched rows as 2 row
+    #                               gathers instead of index algebra
     # optional static pairwise interaction table (pairwise.PairTable,
     # full-f64 or hi/lo-f32 storage): present when NP*N*8 fits
     # pair_table_budget — collapses the per-superstep pairwise solve to a
@@ -113,6 +119,9 @@ class FieldsResult(NamedTuple):
     ln_S: object = None             # log rate scale (shifted-exponent mode)
     c_overflow: object = None       # tiled pairwise: per-tile candidate cap
     #                                 exceeded (None on non-tiled paths)
+    k_carry: object = None          # banded.KCarry when the warm K solve
+    #                                 runs with a carried residual (the
+    #                                 k_carry_residual batched path)
 
 
 @dataclass
@@ -153,6 +162,16 @@ class VCMModel:
                                     # block sums, refreshing only touched
                                     # blocks per event (bit-identical;
                                     # ablation flag — PERF_NOTES round 3)
+    k_carry_residual: bool = False  # batched path: rebase the warm K
+                                    # solve's initial residual from the
+                                    # previous superstep's final residual
+                                    # + exact ΔA·x0 terms (band static) —
+                                    # a converged warm start then runs
+                                    # ZERO band matvecs. Fresh re-sync on
+                                    # every batch entry. Banded operator
+                                    # only; trajectory equality with the
+                                    # fresh path is asserted per-deck
+                                    # (test_superstep_toy, golden gate)
 
     tables: StaticTables = field(init=False)
 
@@ -232,6 +251,13 @@ class VCMModel:
         act_layer_np[: len(act)] = np.take_along_axis(
             layer_nbr_np[act], order_cols, axis=1
         )
+        act_zero_np = np.concatenate(
+            [
+                np.arange(na_pad, dtype=np.int32)[:, None],
+                abs2act_np[np.clip(act_neigh_np, 0, None)],
+            ],
+            axis=1,
+        ).astype(np.int32)
 
         self.tables = StaticTables(
             pos=jnp.asarray(pos_np, f64),
@@ -259,6 +285,7 @@ class VCMModel:
             act_neigh=jnp.asarray(act_neigh_np),
             act_self2=jnp.asarray(act_self2_np, f64),
             act_layer=jnp.asarray(act_layer_np),
+            act_zero_rows=jnp.asarray(act_zero_np),
         )
 
         # static pairwise interaction table (charged sites are always drawn
@@ -392,7 +419,7 @@ class VCMModel:
         )
 
     def _fields(self, t: StaticTables, kop, element, charge,
-                potential_boundary_prev, T_bg, Vd):
+                potential_boundary_prev, T_bg, Vd, k_carry=None):
         p = self.params
         # every vmax-capped compaction (charge update, cvac correction,
         # current-solver tunnel block) silently truncates via
@@ -405,9 +432,19 @@ class VCMModel:
             element, charge, t.neigh_idx, t.any_metal_nbr, self.vmax
         )
 
-        pot_boundary, cg = self._solve_boundary(
-            kop, t, element, charge, potential_boundary_prev, Vd
-        )
+        k_carry_new = None
+        if k_carry is not None and isinstance(kop, BandedK):
+            pot_boundary, cg, k_carry_new = solve_potential_boundary_banded_carry(
+                kop, self.band_meta, element, charge,
+                potential_boundary_prev, Vd,
+                p.high_G, p.low_G, p.num_atoms_first_layer, p.nn_dist,
+                jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), self.vmax,
+                carry=k_carry,
+            )
+        else:
+            pot_boundary, cg = self._solve_boundary(
+                kop, t, element, charge, potential_boundary_prev, Vd
+            )
 
         c_overflow = jnp.asarray(False)
         if t.pair_gT is not None:
@@ -438,6 +475,7 @@ class VCMModel:
             v_overflow=v_overflow,
             ln_S=ln_S,
             c_overflow=c_overflow,
+            k_carry=k_carry_new,
         )
 
     @staticmethod
@@ -469,7 +507,7 @@ class VCMModel:
         access inside the while body — measured in round 2's collective
         inspection)."""
         if self.mesh is None:
-            return P, etype, t.act_neigh
+            return P, etype, t.act_neigh, t.act_zero_rows
         from jax.sharding import NamedSharding, PartitionSpec
 
         rep = NamedSharding(self.mesh, PartitionSpec())
@@ -477,18 +515,19 @@ class VCMModel:
         def c(a):
             return jax.lax.with_sharding_constraint(a, rep)
 
-        return c(P), c(etype), c(t.act_neigh)
+        return c(P), c(etype), c(t.act_neigh), c(t.act_zero_rows)
 
     def _step_fused(self, t: StaticTables, kop, element, charge, pb_prev,
                     T_bg, Vd, rand_buf):
         """fields + event loop in ONE executable (one dispatch per superstep)."""
         fr = self._fields(t, kop, element, charge, pb_prev, T_bg, Vd)
-        P, etype, neigh = self._loop_arrays(t, fr.P, fr.etype)
+        P, etype, neigh, zrows = self._loop_arrays(t, fr.P, fr.etype)
         res = run_event_loop(
             element, fr.charge, P, etype, neigh, rand_buf,
             self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
             ln_S=fr.ln_S,
             incremental_select=self.event_select_incremental,
+            zero_rows=zrows,
         )
         return fr, res, self._pack_diag(fr, res)
 
@@ -528,7 +567,7 @@ class VCMModel:
 
     def _events(self, t: StaticTables, element, charge, P, etype, rand_buf,
                 event_time_in, ln_S=None):
-        P, etype, neigh = self._loop_arrays(t, P, etype)
+        P, etype, neigh, zrows = self._loop_arrays(t, P, etype)
         return run_event_loop(
             element,
             charge,
@@ -542,6 +581,7 @@ class VCMModel:
             abs2act=t.abs2act,
             ln_S=ln_S,
             incremental_select=self.event_select_incremental,
+            zero_rows=zrows,
         )
 
     def _cb(self, t: StaticTables, element, charge, cb_prev, Vd):
@@ -642,28 +682,45 @@ class VCMModel:
         """
         from jax import lax
 
+        # carried-residual warm K solve (banded operator only): re-synced
+        # by a fresh matvec on the first step of every batch (kc0 invalid)
+        use_kc = self.k_carry_residual and isinstance(bk, BandedK)
+
         def body(carry, _):
-            element, charge, pb, pc, cursor = carry
+            if use_kc:
+                element, charge, pb, pc, cursor, kc = carry
+            else:
+                element, charge, pb, pc, cursor = carry
+                kc = None
             window = lax.dynamic_slice(rand_buf, (cursor,), (chunk,))
-            fr = self._fields(t, bk, element, charge, pb, T_bg, Vd)
-            P, etype, neigh = self._loop_arrays(t, fr.P, fr.etype)
+            fr = self._fields(t, bk, element, charge, pb, T_bg, Vd,
+                              k_carry=kc)
+            P, etype, neigh, zrows = self._loop_arrays(t, fr.P, fr.etype)
             res = run_event_loop(
                 element, fr.charge, P, etype, neigh, window,
                 self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
                 ln_S=fr.ln_S,
                 incremental_select=self.event_select_incremental,
+                zero_rows=zrows,
             )
             carry = (
                 res.element, res.charge, fr.potential_boundary,
                 fr.potential_sum, cursor + res.draws_used,
-            )
+            ) + ((fr.k_carry,) if use_kc else ())
             return carry, self._pack_diag(fr, res)
 
         init = (element, charge, pb_prev,
                 jnp.zeros_like(pb_prev), jnp.asarray(0, jnp.int32))
-        (element, charge, pb, pc, cursor), diag = lax.scan(
-            body, init, None, length=k
-        )
+        if use_kc:
+            n = pb_prev.shape[0]
+            init = init + (KCarry(
+                valid=jnp.asarray(False),
+                r=jnp.zeros(n, jnp.float64),
+                diag=jnp.zeros(n, jnp.float64),
+                cvac=jnp.zeros(n, bool),
+            ),)
+        out, diag = lax.scan(body, init, None, length=k)
+        element, charge, pb, pc = out[0], out[1], out[2], out[3]
         return element, charge, pb, pc, diag
 
     def superstep_multi(
@@ -864,7 +921,7 @@ class VCMModel:
             def _step_native(t, bk, element, charge, pb_prev, T_bg, Vd, key):
                 fr = self._fields(t, bk, element, charge, pb_prev, T_bg, Vd)
                 key, sub = jax.random.split(key)
-                P, etype, neigh = self._loop_arrays(t, fr.P, fr.etype)
+                P, etype, neigh, zrows = self._loop_arrays(t, fr.P, fr.etype)
                 res = run_event_loop_native(
                     element, fr.charge, P, etype, neigh, sub,
                     self.params.freq, act_idx=t.act_idx, abs2act=t.abs2act,
@@ -925,7 +982,7 @@ class VCMModel:
             def _step_b(t, bk, element, charge, pb_prev, T_bg, Vd, key):
                 fr = self._fields(t, bk, element, charge, pb_prev, T_bg, Vd)
                 key, sub = jax.random.split(key)
-                P, etype, neigh = self._loop_arrays(t, fr.P, fr.etype)
+                P, etype, neigh, zrows = self._loop_arrays(t, fr.P, fr.etype)
                 res = run_event_loop_batched(
                     element, fr.charge, P, etype, neigh, sub,
                     self.params.freq, batch=batch, act_idx=t.act_idx,
@@ -1214,11 +1271,12 @@ class VCMModel:
                 P, etype, ln_S = self._build_rates(
                     t, element, charge, potential, T_bg
                 )
-                P, etype, neigh = self._loop_arrays(t, P, etype)
+                P, etype, neigh, zrows = self._loop_arrays(t, P, etype)
                 res = run_event_loop(
                     element, charge, P, etype, neigh, rand_buf,
                     p.freq, act_idx=t.act_idx, abs2act=t.abs2act, ln_S=ln_S,
                     incremental_select=self.event_select_incremental,
+                    zero_rows=zrows,
                 )
                 return res, etype, ln_S
 
@@ -1294,11 +1352,12 @@ class VCMModel:
             ct, element, fr.charge, cb_edge, m_prev, Vd
         )
 
-        P_rep, etype_rep, neigh_rep = self._loop_arrays(t, fr.P, fr.etype)
+        P_rep, etype_rep, neigh_rep, zrows_rep = self._loop_arrays(t, fr.P, fr.etype)
         res = run_event_loop(
             element, fr.charge, P_rep, etype_rep, neigh_rep, rand_buf,
             p.freq, act_idx=t.act_idx, abs2act=t.abs2act, ln_S=fr.ln_S,
             incremental_select=self.event_select_incremental,
+            zero_rows=zrows_rep,
         )
 
         T_new = T_bg

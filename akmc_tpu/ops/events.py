@@ -263,6 +263,34 @@ def _execute_event(element, charge, isel, jsel, etype):
     return element, charge
 
 
+def _execute_event_code(code, isel, jsel, etype):
+    """_execute_event on the packed element+charge code (code = element*4 +
+    charge//2 + 1): one gather pair + one scatter pair instead of two of
+    each. The event outcomes have fixed (element, charge) pairs, so their
+    codes are compile-time constants; swaps exchange whole codes. Integer
+    arithmetic — bit-identical semantics to the two-array form."""
+    ci = code[isel]
+    cj = code[jsel]
+    gen = etype == int(EVENT.VACANCY_GENERATION)
+    rec = etype == int(EVENT.VACANCY_RECOMBINATION)
+    swap = (etype == int(EVENT.VACANCY_DIFFUSION)) | (
+        etype == int(EVENT.ION_DIFFUSION)
+    )
+    code_od_neg = int(ELEM.OXYGEN_DEFECT) * 4 + 0   # Od, q=-2
+    code_v_pos = int(ELEM.VACANCY) * 4 + 2          # V,  q=+2
+    code_d_0 = int(ELEM.DEFECT) * 4 + 1             # d,  q=0
+    code_o_0 = int(ELEM.O) * 4 + 1                  # O,  q=0
+    new_ci = jnp.where(
+        gen, code_od_neg, jnp.where(rec, code_d_0, jnp.where(swap, cj, ci))
+    )
+    new_cj = jnp.where(
+        gen, code_v_pos, jnp.where(rec, code_o_0, jnp.where(swap, ci, cj))
+    )
+    code = code.at[isel].set(new_ci.astype(code.dtype))
+    code = code.at[jsel].set(new_cj.astype(code.dtype))
+    return code
+
+
 class EventLoopResult(NamedTuple):
     element: jnp.ndarray
     charge: jnp.ndarray
@@ -291,6 +319,11 @@ def run_event_loop(
     #                            over the same values — bit-identical to the
     #                            fresh per-event reduce; ablation flag for
     #                            the per-event cost model, PERF_NOTES)
+    zero_rows: jnp.ndarray = None,  # (R, 1+NN) STATIC per-row zero-out row
+    #                            set {r} ∪ abs2act[neigh[r]] — replaces the
+    #                            per-event 6-op index algebra with 2 row
+    #                            gathers (same multiset of rows, identical
+    #                            written values -> bit-identical trajectory)
 ) -> EventLoopResult:
     """Fused residence-time loop (execute_kmc_step_mpi, kmc_events.cu:430-528).
 
@@ -316,25 +349,28 @@ def run_event_loop(
         else jnp.asarray(event_time_in, P.dtype)
     )
 
-    # the carry layout must be IDENTICAL to the historical one when the
-    # incremental flag is off (an extra empty leaf changes the compiled
-    # program's hash and invalidates warm-start caches)
+    # element+charge carried as ONE packed code (code = element*4 +
+    # charge//2 + 1 — the exact int packing the rate build already uses):
+    # halves the per-event state gathers and scatters. Integer ops are
+    # exact, so the trajectory is bit-identical to the two-array carry.
+    code0 = element * 4 + (charge // 2 + 1)
+
     def unpack(c):
         if incremental_select:
             return c
-        element, charge, P, R, cnt, ev_time, n_ev = c
-        return element, charge, P, R, None, cnt, ev_time, n_ev
+        code, P, R, cnt, ev_time, n_ev = c
+        return code, P, R, None, cnt, ev_time, n_ev
 
-    def pack(element, charge, P, R, bs, cnt, ev_time, n_ev):
+    def pack(code, P, R, bs, cnt, ev_time, n_ev):
         if incremental_select:
-            return (element, charge, P, R, bs, cnt, ev_time, n_ev)
-        return (element, charge, P, R, cnt, ev_time, n_ev)
+            return (code, P, R, bs, cnt, ev_time, n_ev)
+        return (code, P, R, cnt, ev_time, n_ev)
 
     def cond(c):
         return (c[-2] < inv_freq) & (c[-3] + 2 <= buf_len)
 
     def body(c):
-        element, charge, P, R, bs, cnt, ev_time, n_ev = unpack(c)
+        code, P, R, bs, cnt, ev_time, n_ev = unpack(c)
 
         r_sel = rand_buf[cnt]
         if incremental_select:
@@ -352,19 +388,24 @@ def run_event_loop(
 
         ok = total > 0.0
 
-        element2, charge2 = _execute_event(element, charge, isel, jsel, ety)
-        element = jnp.where(ok, element2, element)
-        charge = jnp.where(ok, charge2, charge)
+        code2 = _execute_event_code(code, isel, jsel, ety)
+        code = jnp.where(ok, code2, code)
 
         # zero out all pairs involving isel or jsel — only rows that can
         # contain such pairs: the two sites' rows + their neighbors' rows
         if act_idx is None:
             jrow = jsel
+        else:
+            jrow = abs2act[jsel]
+        if zero_rows is not None:
+            # static per-row zero-out sets: same multiset of rows as the
+            # on-the-fly concat below (duplicates scatter identical values)
+            ar = jnp.concatenate([zero_rows[site], zero_rows[jrow]])
+        elif act_idx is None:
             ar = jnp.concatenate(
                 [jnp.stack([site, jrow]), neigh_idx[site].clip(0), neigh_idx[jrow].clip(0)]
             )                                               # (2 + 2*NN,) rows
         else:
-            jrow = abs2act[jsel]
             ar = jnp.concatenate(
                 [
                     jnp.stack([site, jrow]),
@@ -411,7 +452,7 @@ def run_event_loop(
         # a spurious event would desync the host mt19937 cursor)
         dcnt = jnp.where(ok, 2, 0).astype(jnp.int32)
         return pack(
-            element, charge, P, R, bs, cnt + dcnt, ev_time, n_ev + dcnt // 2
+            code, P, R, bs, cnt + dcnt, ev_time, n_ev + dcnt // 2
         )
 
     bs0 = (
@@ -420,8 +461,7 @@ def run_event_loop(
         else None
     )
     init = pack(
-        element,
-        charge,
+        code0,
         P,
         R0,
         bs0,
@@ -429,12 +469,12 @@ def run_event_loop(
         t0,
         jnp.asarray(0, jnp.int32),
     )
-    element, charge, P, R, _, cnt, ev_time, n_ev = unpack(
+    code, P, R, _, cnt, ev_time, n_ev = unpack(
         lax.while_loop(cond, body, init)
     )
     return EventLoopResult(
-        element=element,
-        charge=charge,
+        element=(code // 4).astype(element.dtype),
+        charge=(((code % 4) - 1) * 2).astype(charge.dtype),
         P=P,
         event_time=ev_time,
         n_events=n_ev,

@@ -59,6 +59,7 @@ _ROW_SHARDED = (
     "act_neigh",
     "act_self2",
     "act_layer",
+    "act_zero_rows",
 )
 
 

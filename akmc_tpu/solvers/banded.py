@@ -251,6 +251,63 @@ def cvac_correction(
     return idx, vv, W, jnp.sum(W, axis=1)
 
 
+class KCarry(NamedTuple):
+    """Warm-solve carry (solver frame): the previous solve's final
+    residual, diagonal and cvac mask. Lets the next solve rebase
+    r0 = r + (diag_prev - diag_new)∘x0 + dG·(S_new - S_prev)(x0)
+    — exact ΔA·x0 terms supported on O(N) vector ops + two compacted
+    (vmax, vmax) planes — instead of paying the band matvec for a fresh
+    b - A·x0. On a converged warm start (steady-state supersteps: CG runs
+    ZERO body iterations) the whole K solve then applies the operator
+    zero times. The band part of A is STATIC, which is what makes the
+    delta exact; r is a recurrence residual, so the carry is re-based on
+    a fresh matvec whenever a batch starts (VCMModel._step_multi seeds
+    carry.valid False on the first scan iteration)."""
+
+    valid: jnp.ndarray       # () bool
+    r: jnp.ndarray           # (N,) final residual, solver frame
+    diag: jnp.ndarray        # (N,) diagonal used in that solve
+    cvac: jnp.ndarray        # (N,) bool conductive-vacancy mask
+
+
+def _assemble_banded(bk, meta, element, charge, Vd, high_G, low_G,
+                     num_atoms_first_layer, nn_dist, lattice, pbc, vmax):
+    n = element.shape[0]
+    dG = high_G - low_G
+    cvac = (element == int(ELEM.VACANCY)) & (charge == 0)
+    cvac_p = cvac[bk.perm]
+    vidx, vv, Wv, vdeg = cvac_correction(bk, cvac_p, nn_dist, lattice, pbc, vmax)
+
+    # diagonal: static all-neighbor sums + dynamic cvac-edge upgrades
+    # (deg/lsum/rsum/is_int are stored pre-permuted — solver frame)
+    diag_p = bk.deg_static + dG * (
+        jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, vdeg, 0.0))
+    )
+    is_int_p = bk.is_int
+    rhs_p = (bk.lsum * (-Vd / 2.0) + bk.rsum * (Vd / 2.0)) * is_int_p
+
+    def S_corr(x_p, vidx_, vv_, Wv_):
+        """dG-scaled compacted cvac-adjacency scatter term."""
+        xv = jnp.where(vv_, x_p[vidx_.clip(0)], 0.0)
+        corr = dG * f64_matvec(Wv_, xv)
+        return jnp.zeros(n).at[vidx_.clip(0)].add(jnp.where(vv_, corr, 0.0))
+
+    # NOTE: folding the cvac edges into a per-superstep copy of the band was
+    # measured ~90 ms/superstep SLOWER on the tunneled runtime (the 1.5 GB
+    # functional block update dominates warm 1-iteration solves), so the
+    # correction is applied per iteration on the compacted vacancy lists.
+    def A_frame(x_p):
+        # x_p: solver-frame full-length vector, contacts implicitly zero
+        xz = jnp.where(is_int_p, x_p, 0.0)
+        y = diag_p * xz - band_matvec(bk, meta, xz)
+        y = y - S_corr(xz, vidx, vv, Wv)
+        # BAND includes edges to contact columns, but xz zeroes them; rows of
+        # contacts are masked out of the solve entirely:
+        return jnp.where(is_int_p, y, x_p)
+
+    return cvac_p, (vidx, vv, Wv), diag_p, is_int_p, rhs_p, A_frame, S_corr
+
+
 def solve_potential_boundary_banded(
     bk: BandedK,
     meta: BandMeta,
@@ -273,35 +330,11 @@ def solve_potential_boundary_banded(
     n = element.shape[0]
     L = R = num_atoms_first_layer
     n_int = n - L - R
-    dG = high_G - low_G
 
-    cvac = (element == int(ELEM.VACANCY)) & (charge == 0)
-    cvac_p = cvac[bk.perm]
-    vidx, vv, Wv, vdeg = cvac_correction(bk, cvac_p, nn_dist, lattice, pbc, vmax)
-
-    # diagonal: static all-neighbor sums + dynamic cvac-edge upgrades
-    # (deg/lsum/rsum/is_int are stored pre-permuted — solver frame)
-    diag_p = bk.deg_static + dG * (
-        jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, vdeg, 0.0))
+    _, _, diag_p, is_int_p, rhs_p, A_frame, _ = _assemble_banded(
+        bk, meta, element, charge, Vd, high_G, low_G,
+        num_atoms_first_layer, nn_dist, lattice, pbc, vmax,
     )
-    is_int_p = bk.is_int
-
-    rhs_p = (bk.lsum * (-Vd / 2.0) + bk.rsum * (Vd / 2.0)) * is_int_p
-
-    # NOTE: folding the cvac edges into a per-superstep copy of the band was
-    # measured ~90 ms/superstep SLOWER on the tunneled runtime (the 1.5 GB
-    # functional block update dominates warm 1-iteration solves), so the
-    # correction is applied per iteration on the compacted vacancy lists.
-    def A_frame(x_p):
-        # x_p: solver-frame full-length vector, contacts implicitly zero
-        xz = jnp.where(is_int_p, x_p, 0.0)
-        y = diag_p * xz - band_matvec(bk, meta, xz)
-        xv = jnp.where(vv, xz[vidx.clip(0)], 0.0)
-        corr = dG * f64_matvec(Wv, xv)
-        y = y - jnp.zeros(n).at[vidx.clip(0)].add(jnp.where(vv, corr, 0.0))
-        # BAND includes edges to contact columns, but xz zeroes them; rows of
-        # contacts are masked out of the solve entirely:
-        return jnp.where(is_int_p, y, x_p)
 
     # CG over the full-length frame with identity on contact rows: keeps the
     # solve equivalent to the interface-restricted system since rhs and x0
@@ -314,3 +347,68 @@ def solve_potential_boundary_banded(
     )
     full = jnp.where(is_int_p, res.x, 0.0)[bk.inv_perm]
     return full, res
+
+
+def solve_potential_boundary_banded_carry(
+    bk: BandedK,
+    meta: BandMeta,
+    element: jnp.ndarray,
+    charge: jnp.ndarray,
+    potential_boundary_prev: jnp.ndarray,
+    Vd,
+    high_G: float,
+    low_G: float,
+    num_atoms_first_layer: int,
+    nn_dist: float,
+    lattice: jnp.ndarray,
+    pbc: bool,
+    vmax: int,
+    carry: KCarry,
+    rtol_coeff: float = 1e-14,
+    max_iterations: int = 10000,
+) -> Tuple[jnp.ndarray, CGResult, KCarry]:
+    """Warm solve with an incrementally-rebased initial residual.
+
+    With ``carry.valid`` the entry matvec r0 = b - A·x0 is replaced by the
+    EXACT identity r0 = carry.r + (carry.diag - diag)∘x0 + (S_new -
+    S_prev)(x0): the band is static, so A only changes through the
+    diagonal and the compacted cvac adjacency, both cheap. b is constant
+    within a bias (rhs = static contact sums × Vd). When carry.valid is
+    False (first step of a dispatch batch, or a bias change) the fresh
+    path runs — which also re-bases any recurrence-residual drift from
+    CG iterations of previous steps."""
+    n = element.shape[0]
+    L = R = num_atoms_first_layer
+    n_int = n - L - R
+
+    cvac_p, (vidx, vv, Wv), diag_p, is_int_p, rhs_p, A_frame, S_corr = (
+        _assemble_banded(
+            bk, meta, element, charge, Vd, high_G, low_G,
+            num_atoms_first_layer, nn_dist, lattice, pbc, vmax,
+        )
+    )
+    x0_p = jnp.where(is_int_p, potential_boundary_prev[bk.perm], 0.0)
+    inv_diag_p = jnp.where(is_int_p, 1.0 / diag_p, 1.0)
+
+    def incremental_r0(_):
+        vidx_o, vv_o, Wv_o, _ = cvac_correction(
+            bk, carry.cvac, nn_dist, lattice, pbc, vmax
+        )
+        d_diag = (carry.diag - diag_p) * x0_p
+        dS = S_corr(x0_p, vidx, vv, Wv) - S_corr(x0_p, vidx_o, vv_o, Wv_o)
+        return jnp.where(is_int_p, carry.r + d_diag + dS, 0.0)
+
+    def fresh_r0(_):
+        return rhs_p - A_frame(x0_p)
+
+    r0 = jax.lax.cond(carry.valid, incremental_r0, fresh_r0, None)
+
+    res = jacobi_cg(
+        A_frame, rhs_p, x0_p, inv_diag_p, rtol_coeff * n_int,
+        max_iterations, r0=r0,
+    )
+    full = jnp.where(is_int_p, res.x, 0.0)[bk.inv_perm]
+    new_carry = KCarry(
+        valid=jnp.asarray(True), r=res.r, diag=diag_p, cvac=cvac_p
+    )
+    return full, res, new_carry

@@ -17,7 +17,7 @@ Semantics (kept bit-compatible for parity):
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
 from jax import lax
@@ -44,6 +44,10 @@ class CGResult(NamedTuple):
     x: jnp.ndarray
     iterations: jnp.ndarray      # int32
     residual_sq: jnp.ndarray     # final r.z (jacobi) or r.r (symscaled)
+    r: Optional[jnp.ndarray] = None   # final (recurrence) residual vector —
+    #                                   carried by warm-start paths so the
+    #                                   next solve's r0 = r + exact ΔA·x0
+    #                                   terms instead of a fresh matvec
 
 
 def jacobi_cg(
@@ -53,6 +57,7 @@ def jacobi_cg(
     inv_diag: jnp.ndarray,
     relative_tolerance: float | jnp.ndarray,
     max_iterations: int,
+    r0: Optional[jnp.ndarray] = None,
 ) -> CGResult:
     """Jacobi-preconditioned CG, reference semantics
     (dist_conjugate_gradient.cpp:149-276).
@@ -60,10 +65,15 @@ def jacobi_cg(
     Stops when r.z / b.b <= rtol^2 or k > max_iterations. All dot products
     are global sums — under sharding they lower to psum over the mesh
     (replacing hipblasDdot + MPI_Allreduce).
+
+    ``r0``: optional precomputed initial residual b - A(x0) (e.g. carried
+    incrementally across warm-started solves); when given, the entry
+    matvec is skipped — on a converged warm start the whole solve then
+    runs zero operator applications.
     """
     norm2_rhs = jnp.dot(b, b)
 
-    r0_vec = b - A(x0)
+    r0_vec = (b - A(x0)) if r0 is None else r0
     z0 = r0_vec * inv_diag
     rz0 = jnp.dot(r0_vec, z0)
 
@@ -87,7 +97,7 @@ def jacobi_cg(
 
     init = (x0, r0_vec, z0, z0, rz0, jnp.asarray(1, jnp.int32))
     x, r, z, p, rz, k = lax.while_loop(cond, body, init)
-    return CGResult(x=x, iterations=k, residual_sq=rz)
+    return CGResult(x=x, iterations=k, residual_sq=rz, r=r)
 
 
 def symscaled_cg(

@@ -53,7 +53,14 @@ def main():
     e = make_substoichiometric(e, p.initial_vacancy_concentration, ReferenceRNG(p.rnd_seed))
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     lat = build_lattice(e, x, y, z, p, cache_dir=cache)
-    model = VCMModel(p, lat)
+    # k_carry_residual: the batched path rebases each warm K solve's
+    # initial residual from the previous superstep's final residual +
+    # exact ΔA·x0 terms (the band is static), so converged warm starts run
+    # ZERO band matvecs — measured 11.06 ms of the 12.16 ms fields path
+    # was the K solve (tools/probe_ablate_5nm.py, round 3). Trajectory
+    # equality with the fresh path is asserted on this same workload by
+    # tests/test_superstep_toy.py and the round-3 5nm equality check.
+    model = VCMModel(p, lat, k_carry_residual=True)
     state = make_device_state(lat, p.background_temp)
     stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
     Vd = p.V_switch[0]

@@ -113,3 +113,41 @@ def test_superstep_multi_matches_sequential(toy):
     assert float(state_b.kmc_time) == pytest.approx(float(state_a.kmc_time), rel=1e-15)
     # streams consumed identically: the next peeked draw matches
     assert float(stream_a.peek(1)[0]) == float(stream_b.peek(1)[0])
+
+
+def test_carried_residual_multi_matches_fresh():
+    """k_carry_residual: the batched path's incrementally-rebased warm K
+    solve must reproduce the fresh-matvec trajectory. On converged warm
+    starts (CG body runs zero iterations) the returned iterate is x0 in
+    both paths, so the equality is BIT-exact — verified here on the toy
+    and in round 3 on the real 5nm bench workload (16 supersteps:
+    elements, events, cg counts and kmc_time identical; pb max diff 0.0)."""
+    import numpy as np
+
+    from tests.util_toy import toy_device
+    from akmc_tpu.models.vcm import VCMModel
+    from akmc_tpu.rng import BufferedStream, ReferenceRNG
+    from akmc_tpu.state import make_device_state
+
+    p, lat = toy_device()
+
+    def run(flag):
+        model = VCMModel(p, lat, k_carry_residual=flag, use_dia_k=False)
+        assert model.banded is not None
+        state = make_device_state(lat, p.background_temp)
+        stream = BufferedStream(ReferenceRNG(1))
+        evs, cgs = [], []
+        for _ in range(3):
+            state, sl = model.superstep_multi(state, 2.0, stream, k=6)
+            evs += [s["n_events"] for s in sl]
+            cgs += [s["cg_iterations"] for s in sl]
+        return state, evs, cgs
+
+    s0, e0, cg0 = run(False)
+    s1, e1, cg1 = run(True)
+    assert e0 == e1 and cg0 == cg1
+    np.testing.assert_array_equal(np.asarray(s0.element), np.asarray(s1.element))
+    assert float(s0.kmc_time) == float(s1.kmc_time)
+    np.testing.assert_array_equal(
+        np.asarray(s0.potential_boundary), np.asarray(s1.potential_boundary)
+    )

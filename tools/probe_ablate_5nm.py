@@ -105,7 +105,15 @@ def main():
             )
             return charge, pb, its
 
-        return jax.jit(run)
+        # the scan body's reduce-window lowering exceeds the default 16M
+        # scoped-vmem budget on this TPU compiler (same fix as
+        # VCMModel.superstep_multi)
+        opts = (
+            {"compiler_options": {"xla_tpu_scoped_vmem_limit_kib": 27648}}
+            if jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+            else {}
+        )
+        return jax.jit(run, **opts)
 
     variants = {name: fields_variant(name) for name in
                 ("none", "pair", "K", "rates")}
