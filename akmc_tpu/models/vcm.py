@@ -432,6 +432,10 @@ class VCMModel:
             element, charge, t.neigh_idx, t.any_metal_nbr, self.vmax
         )
 
+        # k_carry: None = plain solve; "init" = carry solver, fresh entry
+        # matvec (batch start); KCarry = incremental rebase. Trace-time
+        # dispatch — a runtime lax.cond lowered to executing BOTH branches
+        # inside the scan (measured slower than no carry at all).
         k_carry_new = None
         if k_carry is not None and isinstance(kop, BandedK):
             pot_boundary, cg, k_carry_new = solve_potential_boundary_banded_carry(
@@ -439,7 +443,7 @@ class VCMModel:
                 potential_boundary_prev, Vd,
                 p.high_G, p.low_G, p.num_atoms_first_layer, p.nn_dist,
                 jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), self.vmax,
-                carry=k_carry,
+                carry=None if k_carry == "init" else k_carry,
             )
         else:
             pot_boundary, cg = self._solve_boundary(
@@ -682,19 +686,18 @@ class VCMModel:
         """
         from jax import lax
 
-        # carried-residual warm K solve (banded operator only): re-synced
-        # by a fresh matvec on the first step of every batch (kc0 invalid)
+        # carried-residual warm K solve (banded operator only): the FIRST
+        # step runs unrolled with a fresh entry matvec (re-sync); steps
+        # 2..k scan with the incremental rebase unconditionally. A runtime
+        # lax.cond inside the scan lowered to executing BOTH branches on
+        # this TPU compiler (measured 21.6 -> 23.1 ms — worse than no
+        # carry), so the dispatch is trace-time.
         use_kc = self.k_carry_residual and isinstance(bk, BandedK)
 
-        def body(carry, _):
-            if use_kc:
-                element, charge, pb, pc, cursor, kc = carry
-            else:
-                element, charge, pb, pc, cursor = carry
-                kc = None
+        def step_once(element, charge, pb, cursor, kc_mode):
             window = lax.dynamic_slice(rand_buf, (cursor,), (chunk,))
             fr = self._fields(t, bk, element, charge, pb, T_bg, Vd,
-                              k_carry=kc)
+                              k_carry=kc_mode)
             P, etype, neigh, zrows = self._loop_arrays(t, fr.P, fr.etype)
             res = run_event_loop(
                 element, fr.charge, P, etype, neigh, window,
@@ -703,24 +706,43 @@ class VCMModel:
                 incremental_select=self.event_select_incremental,
                 zero_rows=zrows,
             )
+            return fr, res
+
+        if not use_kc:
+            def body(carry, _):
+                element, charge, pb, pc, cursor = carry
+                fr, res = step_once(element, charge, pb, cursor, None)
+                carry = (
+                    res.element, res.charge, fr.potential_boundary,
+                    fr.potential_sum, cursor + res.draws_used,
+                )
+                return carry, self._pack_diag(fr, res)
+
+            init = (element, charge, pb_prev,
+                    jnp.zeros_like(pb_prev), jnp.asarray(0, jnp.int32))
+            (element, charge, pb, pc, cursor), diag = lax.scan(
+                body, init, None, length=k
+            )
+            return element, charge, pb, pc, diag
+
+        fr, res = step_once(element, charge, pb_prev,
+                            jnp.asarray(0, jnp.int32), "init")
+        diag0 = self._pack_diag(fr, res)
+
+        def body(carry, _):
+            element, charge, pb, pc, cursor, kc = carry
+            fr, res = step_once(element, charge, pb, cursor, kc)
             carry = (
                 res.element, res.charge, fr.potential_boundary,
-                fr.potential_sum, cursor + res.draws_used,
-            ) + ((fr.k_carry,) if use_kc else ())
+                fr.potential_sum, cursor + res.draws_used, fr.k_carry,
+            )
             return carry, self._pack_diag(fr, res)
 
-        init = (element, charge, pb_prev,
-                jnp.zeros_like(pb_prev), jnp.asarray(0, jnp.int32))
-        if use_kc:
-            n = pb_prev.shape[0]
-            init = init + (KCarry(
-                valid=jnp.asarray(False),
-                r=jnp.zeros(n, jnp.float64),
-                diag=jnp.zeros(n, jnp.float64),
-                cvac=jnp.zeros(n, bool),
-            ),)
-        out, diag = lax.scan(body, init, None, length=k)
+        init = (res.element, res.charge, fr.potential_boundary,
+                fr.potential_sum, res.draws_used, fr.k_carry)
+        out, diag = lax.scan(body, init, None, length=k - 1)
         element, charge, pb, pc = out[0], out[1], out[2], out[3]
+        diag = jnp.concatenate([diag0[None], diag], axis=0)
         return element, charge, pb, pc, diag
 
     def superstep_multi(

@@ -253,21 +253,24 @@ def cvac_correction(
 
 class KCarry(NamedTuple):
     """Warm-solve carry (solver frame): the previous solve's final
-    residual, diagonal and cvac mask. Lets the next solve rebase
-    r0 = r + (diag_prev - diag_new)∘x0 + dG·(S_new - S_prev)(x0)
-    — exact ΔA·x0 terms supported on O(N) vector ops + two compacted
+    residual, diagonal and compacted cvac correction. Lets the next solve
+    rebase  r0 = r + (diag_prev - diag_new)∘x0 + (S_new - S_prev)(x0)
+    — exact ΔA·x0 terms supported on O(N) vector ops + the two compacted
     (vmax, vmax) planes — instead of paying the band matvec for a fresh
     b - A·x0. On a converged warm start (steady-state supersteps: CG runs
     ZERO body iterations) the whole K solve then applies the operator
     zero times. The band part of A is STATIC, which is what makes the
-    delta exact; r is a recurrence residual, so the carry is re-based on
-    a fresh matvec whenever a batch starts (VCMModel._step_multi seeds
-    carry.valid False on the first scan iteration)."""
+    delta exact; r is a recurrence residual, so VCMModel._step_multi
+    re-bases with a fresh matvec on the first step of every batch (the
+    fresh step is UNROLLED outside the scan — a lax.cond inside the scan
+    body lowered to executing BOTH branches on TPU, measured as a
+    slowdown)."""
 
-    valid: jnp.ndarray       # () bool
     r: jnp.ndarray           # (N,) final residual, solver frame
     diag: jnp.ndarray        # (N,) diagonal used in that solve
-    cvac: jnp.ndarray        # (N,) bool conductive-vacancy mask
+    vidx: jnp.ndarray        # (VMAX,) compacted cvac sites of that solve
+    vv: jnp.ndarray          # (VMAX,) valid mask
+    Wv: jnp.ndarray          # (VMAX, VMAX) cvac adjacency of that solve
 
 
 def _assemble_banded(bk, meta, element, charge, Vd, high_G, low_G,
@@ -363,20 +366,21 @@ def solve_potential_boundary_banded_carry(
     lattice: jnp.ndarray,
     pbc: bool,
     vmax: int,
-    carry: KCarry,
+    carry: Optional[KCarry],
     rtol_coeff: float = 1e-14,
     max_iterations: int = 10000,
 ) -> Tuple[jnp.ndarray, CGResult, KCarry]:
     """Warm solve with an incrementally-rebased initial residual.
 
-    With ``carry.valid`` the entry matvec r0 = b - A·x0 is replaced by the
-    EXACT identity r0 = carry.r + (carry.diag - diag)∘x0 + (S_new -
-    S_prev)(x0): the band is static, so A only changes through the
-    diagonal and the compacted cvac adjacency, both cheap. b is constant
-    within a bias (rhs = static contact sums × Vd). When carry.valid is
-    False (first step of a dispatch batch, or a bias change) the fresh
-    path runs — which also re-bases any recurrence-residual drift from
-    CG iterations of previous steps."""
+    With ``carry`` (trace-time: None = fresh) the entry matvec
+    r0 = b - A·x0 is replaced by the EXACT identity r0 = carry.r +
+    (carry.diag - diag)∘x0 + (S_new - S_prev)(x0): the band is static, so
+    A only changes through the diagonal and the compacted cvac adjacency,
+    both cheap; S_prev reuses the carried compacted plane. b is constant
+    within a bias (rhs = static contact sums × Vd). carry=None (first
+    step of a dispatch batch, or a bias change) runs the fresh path —
+    which also re-bases any recurrence-residual drift from CG iterations
+    of previous steps."""
     n = element.shape[0]
     L = R = num_atoms_first_layer
     n_int = n - L - R
@@ -390,25 +394,19 @@ def solve_potential_boundary_banded_carry(
     x0_p = jnp.where(is_int_p, potential_boundary_prev[bk.perm], 0.0)
     inv_diag_p = jnp.where(is_int_p, 1.0 / diag_p, 1.0)
 
-    def incremental_r0(_):
-        vidx_o, vv_o, Wv_o, _ = cvac_correction(
-            bk, carry.cvac, nn_dist, lattice, pbc, vmax
-        )
+    if carry is None:
+        r0 = rhs_p - A_frame(x0_p)
+    else:
         d_diag = (carry.diag - diag_p) * x0_p
-        dS = S_corr(x0_p, vidx, vv, Wv) - S_corr(x0_p, vidx_o, vv_o, Wv_o)
-        return jnp.where(is_int_p, carry.r + d_diag + dS, 0.0)
-
-    def fresh_r0(_):
-        return rhs_p - A_frame(x0_p)
-
-    r0 = jax.lax.cond(carry.valid, incremental_r0, fresh_r0, None)
+        dS = S_corr(x0_p, vidx, vv, Wv) - S_corr(
+            x0_p, carry.vidx, carry.vv, carry.Wv
+        )
+        r0 = jnp.where(is_int_p, carry.r + d_diag + dS, 0.0)
 
     res = jacobi_cg(
         A_frame, rhs_p, x0_p, inv_diag_p, rtol_coeff * n_int,
         max_iterations, r0=r0,
     )
     full = jnp.where(is_int_p, res.x, 0.0)[bk.inv_perm]
-    new_carry = KCarry(
-        valid=jnp.asarray(True), r=res.r, diag=diag_p, cvac=cvac_p
-    )
+    new_carry = KCarry(r=res.r, diag=diag_p, vidx=vidx, vv=vv, Wv=Wv)
     return full, res, new_carry
