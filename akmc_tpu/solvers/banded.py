@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from akmc_tpu.lattice import ELEM
+from akmc_tpu.ops.compact import compact_mask
 from akmc_tpu.solvers.cg import CGResult, f64_matvec, jacobi_cg
 
 
@@ -231,9 +232,17 @@ def cvac_correction(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compacted conductive-vacancy adjacency: returns (idx (VMAX,), valid,
     W (VMAX, VMAX) 0/1, deg (VMAX,)). Edges = pairs of cvac sites within
-    nn_dist (PBC-aware — matches the K sparsity rule)."""
-    idx = jnp.nonzero(cvac_p, size=vmax, fill_value=-1)[0].astype(jnp.int32)
-    vv = idx >= 0
+    nn_dist (PBC-aware — matches the K sparsity rule).
+
+    The compaction uses ops.compact.compact_mask, NOT jnp.nonzero: the
+    nonzero lowering (full-length s64 log-depth cumsum + full-length
+    drop-mode scatter) measured ~6.3 ms/step of the carried warm K solve
+    at N = 37,650 on the tunneled v5e — independent of the mask's
+    producer and of an optimization_barrier (both probed,
+    tools/probe_kcarry_ablate.py round 3). compact_mask produces the
+    bit-identical index list from one MXU matmul + log-depth searchsorted
+    gathers."""
+    idx, vv = compact_mask(cvac_p, vmax)
     p = bk.pos_p[idx.clip(0)]
     d = p[:, None, :] - p[None, :, :]
     if pbc:

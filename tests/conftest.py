@@ -6,7 +6,30 @@ only test multi-rank behavior on the LUMI cluster itself — SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# ----------------------------------------------------------------------
+# ROOT CAUSE of the intermittent suite SIGABRT (VERDICT round 2 "what's
+# weak" #3; reproduced twice in round 3 with core dumps): XLA CPU's
+# collective rendezvous has a 40 s TERMINATION timeout
+# (xla/service/rendezvous.cc:127 — "Expected 8 threads to join the
+# rendezvous, but only 5 of them arrived on time. Exiting to ensure a
+# consistent program state."). On this 1-core host the 8 virtual devices'
+# rendezvous threads are timesliced; under concurrent CPU load (TPU-probe
+# tracing, a parallel golden run — both crash sessions had one) a thread
+# can legitimately wait > 40 s for its slice, and the runtime aborts the
+# process from a CHECK, killing pytest mid-suite. Always in the heaviest
+# 8-device collective test (test_sharded_tiled_pairwise...). Fix: raise
+# the termination timeout — on a 1-core virtual mesh a long rendezvous
+# wait is scheduling delay, not deadlock.
+# ----------------------------------------------------------------------
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    _flags += " --xla_force_host_platform_device_count=8"
+if "--xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = _flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 

@@ -117,3 +117,29 @@ def test_banded_solve_matches_ell_solve(setup):
     assert abs(int(res_band.iterations) - int(res_ell.iterations)) <= max(
         3, int(res_ell.iterations) // 5
     )
+
+
+def test_compact_mask_matches_nonzero():
+    """ops.compact.compact_mask must reproduce jnp.nonzero(size, fill=-1)
+    exactly — it replaces nonzero in the warm K solve's cvac compaction
+    (the nonzero lowering measured ~6 ms/step on the tunneled v5e,
+    tools/probe_kcarry_ablate.py round 3)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from akmc_tpu.ops.compact import compact_mask
+
+    rng = np.random.default_rng(11)
+    for n, size, p_true in [
+        (37650, 768, 0.02),    # the 5 nm cvac shape
+        (1000, 64, 0.05),
+        (513, 8, 0.5),         # non-multiple of the 512 block
+        (512, 16, 0.0),        # empty mask
+        (100, 100, 1.0),       # full mask
+        (64, 4, 0.5),          # overflow: more set bits than size
+    ]:
+        mask = jnp.asarray(rng.random(n) < p_true)
+        want = jnp.nonzero(mask, size=size, fill_value=-1)[0].astype(jnp.int32)
+        got, valid = compact_mask(mask, size)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(valid), np.asarray(want) >= 0)
