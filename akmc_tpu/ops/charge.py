@@ -21,6 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from akmc_tpu.lattice import ELEM
+from akmc_tpu.ops.compact import compact_mask
 
 
 def update_charge(
@@ -49,8 +50,11 @@ def update_charge_compact(
     positions instead of an (N, NN) element gather (TPU gathers serialize
     on the scalar unit)."""
     is_v = element == int(ELEM.VACANCY)
-    vidx = jnp.nonzero(is_v, size=vmax, fill_value=-1)[0].astype(jnp.int32)
-    vv = vidx >= 0
+    # compact_mask, not jnp.nonzero: the nonzero lowering (full-length s64
+    # cumsum + full-length scatter) measured ~6 ms/step at N = 37,650 on
+    # the tunneled v5e (tools/probe_events_5nm.py E2-E3); compact_mask is
+    # bit-identical (tests/test_banded.py::test_compact_mask_matches_nonzero)
+    vidx, vv = compact_mask(is_v, vmax)
     rows = neigh_idx[vidx.clip(0)]                       # (VMAX, NN)
     ok = (rows >= 0) & vv[:, None]
     vac_nbrs = jnp.zeros(element.shape[0], jnp.int32).at[rows.clip(0)].add(
