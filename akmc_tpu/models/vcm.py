@@ -995,6 +995,42 @@ class VCMModel:
         event-throughput path (the serial loop's ~0.39 ms/event op-count
         overhead dominated the full-40nm superstep, PERF_NOTES round 3).
         Own threefry stream (not reference-stream parity)."""
+        key_in = key
+        fr, res, diag, key = self._get_batched_jit(batch, mass_eps)(
+            self.tables, self.kop, state.element, state.charge,
+            state.potential_boundary, state.T_bg, Vd, key,
+        )
+        d = np.asarray(diag)
+        if d[5] != 0.0 or d[6] != 0.0 or d[7] != 0.0:
+            if d[5] != 0.0:
+                self.qmax *= 2
+            if d[6] != 0.0:
+                self.vmax *= 2
+            if d[7] != 0.0:
+                self.pair_cand_cap *= 2
+            self._invalidate_jits()
+            return self.superstep_native_batched(
+                state, Vd, key_in, batch, mass_eps
+            )
+        new_state = state._replace(
+            element=res.element,
+            charge=res.charge,
+            potential_boundary=fr.potential_boundary,
+            potential_charge=fr.potential_sum,
+            kmc_time=state.kmc_time + res.event_time,
+        )
+        stats = {
+            "n_events": int(d[0]),
+            "n_batches": int(d[1]),
+            "event_time": float(d[2]),
+            "cg_iterations": int(d[4]),
+        }
+        return new_state, stats, key
+
+    def _get_batched_jit(self, batch: int, mass_eps: float):
+        """Build (and cache) the batched-loop executable for a (batch,
+        mass_eps) config — shared by superstep_native_batched and warmup
+        so the AOT warmup compiles the SAME executable the run uses."""
         from akmc_tpu.ops.events import run_event_loop_batched
 
         if not hasattr(self, "_step_batched_jits"):
@@ -1028,43 +1064,15 @@ class VCMModel:
                 return fr, res, diag, key
 
             self._step_batched_jits[bkey] = jax.jit(_step_b)
-        key_in = key
-        fr, res, diag, key = self._step_batched_jits[bkey](
-            self.tables, self.kop, state.element, state.charge,
-            state.potential_boundary, state.T_bg, Vd, key,
-        )
-        d = np.asarray(diag)
-        if d[5] != 0.0 or d[6] != 0.0 or d[7] != 0.0:
-            if d[5] != 0.0:
-                self.qmax *= 2
-            if d[6] != 0.0:
-                self.vmax *= 2
-            if d[7] != 0.0:
-                self.pair_cand_cap *= 2
-            self._invalidate_jits()
-            return self.superstep_native_batched(
-                state, Vd, key_in, batch, mass_eps
-            )
-        new_state = state._replace(
-            element=res.element,
-            charge=res.charge,
-            potential_boundary=fr.potential_boundary,
-            potential_charge=fr.potential_sum,
-            kmc_time=state.kmc_time + res.event_time,
-        )
-        stats = {
-            "n_events": int(d[0]),
-            "n_batches": int(d[1]),
-            "event_time": float(d[2]),
-            "cg_iterations": int(d[4]),
-        }
-        return new_state, stats, key
+        return self._step_batched_jits[bkey]
 
     def warmup(
         self, state: DeviceState, Vd: float, rand_chunk: int = 8192,
         steps_per_dispatch: Optional[int] = None,
         multi_rand_chunk: int = 2048,
         full_physics: bool = False,
+        batched: int = 0,
+        batched_mass_eps: float = 1e-3,
     ) -> dict:
         """AOT-compile every executable the run will need BEFORE the first
         superstep (jit.lower().compile()), so the first superstep pays only
@@ -1118,6 +1126,14 @@ class VCMModel:
                 state.potential_boundary, state.T_bg, float(Vd),
                 jnp.zeros(steps_per_dispatch * multi_rand_chunk, jnp.float64),
                 steps_per_dispatch, multi_rand_chunk,
+            ))
+        if batched:
+            _c(f"batched_B{batched}", self._get_batched_jit(
+                batched, batched_mass_eps
+            ).lower(
+                t, self.kop, state.element, state.charge,
+                state.potential_boundary, state.T_bg, float(Vd),
+                jax.random.PRNGKey(0),
             ))
         if full_physics:
             if self._step_full_jit is None:

@@ -75,7 +75,7 @@ def main():
     # the first superstep pays only the cold zero-guess CG. Persistent
     # cache makes later runs at this scale skip compiles entirely.
     t0 = time.perf_counter()
-    compile_s = model.warmup(state, Vd)
+    compile_s = model.warmup(state, Vd, batched=batched)
     t_warm = time.perf_counter() - t0
     print(f"[warmup] {t_warm:.1f}s compiles: "
           + ", ".join(f"{k}={v:.0f}s" for k, v in compile_s.items()),
