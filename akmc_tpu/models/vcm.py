@@ -994,11 +994,16 @@ class VCMModel:
         serial one-event-per-iteration while loop — the crossbar-scale
         event-throughput path (the serial loop's ~0.39 ms/event op-count
         overhead dominated the full-40nm superstep, PERF_NOTES round 3).
-        Own threefry stream (not reference-stream parity)."""
+        Own threefry stream (not reference-stream parity).
+
+        ``mass_eps`` (the killed-mass staleness bound — the one knob that
+        trades gap-law exactness for batch amortization) is a TRACED
+        argument: changing it reuses the compiled executable."""
         key_in = key
-        fr, res, diag, key = self._get_batched_jit(batch, mass_eps)(
+        fr, res, diag, key = self._get_batched_jit(batch)(
             self.tables, self.kop, state.element, state.charge,
-            state.potential_boundary, state.T_bg, Vd, key,
+            state.potential_boundary, state.T_bg, Vd,
+            float(mass_eps), key,
         )
         d = np.asarray(diag)
         if d[5] != 0.0 or d[6] != 0.0 or d[7] != 0.0:
@@ -1024,20 +1029,24 @@ class VCMModel:
             "n_batches": int(d[1]),
             "event_time": float(d[2]),
             "cg_iterations": int(d[4]),
+            "n_cut_conflict": int(d[8]),
+            "n_cut_mass": int(d[9]),
         }
         return new_state, stats, key
 
-    def _get_batched_jit(self, batch: int, mass_eps: float):
-        """Build (and cache) the batched-loop executable for a (batch,
-        mass_eps) config — shared by superstep_native_batched and warmup
-        so the AOT warmup compiles the SAME executable the run uses."""
+    def _get_batched_jit(self, batch: int):
+        """Build (and cache) the batched-loop executable for a batch size —
+        shared by superstep_native_batched and warmup so the AOT warmup
+        compiles the SAME executable the run uses. mass_eps is a traced
+        argument, not part of the key."""
         from akmc_tpu.ops.events import run_event_loop_batched
 
         if not hasattr(self, "_step_batched_jits"):
             self._step_batched_jits = {}
-        bkey = (batch, mass_eps)
+        bkey = batch
         if bkey not in self._step_batched_jits:
-            def _step_b(t, bk, element, charge, pb_prev, T_bg, Vd, key):
+            def _step_b(t, bk, element, charge, pb_prev, T_bg, Vd,
+                        mass_eps, key):
                 fr = self._fields(t, bk, element, charge, pb_prev, T_bg, Vd)
                 key, sub = jax.random.split(key)
                 P, etype, neigh, zrows = self._loop_arrays(t, fr.P, fr.etype)
@@ -1060,6 +1069,8 @@ class VCMModel:
                     fr.q_overflow.astype(jnp.float64),
                     fr.v_overflow.astype(jnp.float64),
                     c_ovf,
+                    res.n_cut_conflict.astype(jnp.float64),
+                    res.n_cut_mass.astype(jnp.float64),
                 ])
                 return fr, res, diag, key
 
@@ -1128,12 +1139,10 @@ class VCMModel:
                 steps_per_dispatch, multi_rand_chunk,
             ))
         if batched:
-            _c(f"batched_B{batched}", self._get_batched_jit(
-                batched, batched_mass_eps
-            ).lower(
+            _c(f"batched_B{batched}", self._get_batched_jit(batched).lower(
                 t, self.kop, state.element, state.charge,
                 state.potential_boundary, state.T_bg, float(Vd),
-                jax.random.PRNGKey(0),
+                float(batched_mass_eps), jax.random.PRNGKey(0),
             ))
         if full_physics:
             if self._step_full_jit is None:

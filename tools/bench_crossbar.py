@@ -65,9 +65,12 @@ def main():
     stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
     Vd = 15.0   # 40 nm deck bias
     batched = 0
+    mass_eps = 1e-3
     for a in sys.argv[1:]:
         if a.startswith("--batched"):
             batched = int(a.split("=")[1]) if "=" in a else 64
+        if a.startswith("--mass-eps"):
+            mass_eps = float(a.split("=")[1])
 
     # AOT warmup: compile the fused step AND the event-loop re-entry
     # executable up front (the re-entry compile historically landed as a
@@ -99,7 +102,7 @@ def main():
         t0 = time.perf_counter()
         if batched:
             state, stats, key = model.superstep_native_batched(
-                state, Vd, key, batch=batched
+                state, Vd, key, batch=batched, mass_eps=mass_eps
             )
         else:
             state, stats = model.superstep(state, Vd, stream)
@@ -109,7 +112,9 @@ def main():
         steps.append({"step": i, "s": round(dt, 3),
                       "events": stats["n_events"],
                       "cg": stats["cg_iterations"],
-                      **({"batches": stats["n_batches"]} if batched else {})})
+                      **({"batches": stats["n_batches"],
+                          "cut_conflict": stats["n_cut_conflict"],
+                          "cut_mass": stats["n_cut_mass"]} if batched else {})})
         print(f"[step {i}] {steps[-1]}", file=sys.stderr)
 
     print(
@@ -120,7 +125,10 @@ def main():
                 "n_sites": int((np.asarray(lat.element0) != 9).sum()),
                 "value": float(np.median(times)),
                 "unit": "s",
-                "event_loop": f"batched B={batched}" if batched else "serial",
+                "event_loop": (
+                    f"batched B={batched} mass_eps={mass_eps}"
+                    if batched else "serial"
+                ),
                 "warmup_compile_s": round(t_warm, 1),
                 "first_superstep_s": round(t_first, 1),
                 "build_s": round(t_build, 1),
