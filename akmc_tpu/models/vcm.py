@@ -327,17 +327,18 @@ class VCMModel:
                 cen = np.asarray(tiling.tile_center)
                 reach = p.cutoff_radius + r_tile
                 if q0.any():
-                    # chunk the (T, Q) distance count over tile blocks: the
-                    # full broadcast is O(T*Q*3) f64 transient host RAM
-                    # (tens of GB at crossbar scale — round-2 advisor)
+                    # The exact (T, Q) distance count is O(T*Q) — ~3.5e10
+                    # scalar ops (~25 min) on the 1-core host at the 2.41M-
+                    # site crossbar (measured: the [build]->[dia] gap of
+                    # BENCH_crossbar_full40nm_r03). Instead: an O(T + Q)
+                    # coarse-grid 27-cell count upper-bounds every tile's
+                    # in-reach population, and the exact count runs only on
+                    # the densest tiles. Chunked (not one broadcast): the
+                    # full (T, Q, 3) f64 transient is tens of GB of host
+                    # RAM (round-2 advisor). A pathological under-estimate
+                    # is caught by the runtime c-cap overflow growth path.
                     pos_q = pos_np[q0]
-                    chunk = max(1, int(2e8 // max(1, pos_q.shape[0])))
-                    mx = 0
-                    for s in range(0, cen.shape[0], chunk):
-                        d2q = (
-                            (cen[s:s + chunk, None, :] - pos_q[None, :, :]) ** 2
-                        ).sum(-1)
-                        mx = max(mx, int((d2q < reach * reach).sum(axis=1).max()))
+                    mx = _max_in_reach_count(cen, pos_q, reach)
                 else:
                     mx = 0
                 self.pair_cand_cap = _round_up(max(64, int(1.5 * mx)), 64)
@@ -1574,3 +1575,69 @@ def _next_pow2(v: int) -> int:
 
 def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
+
+
+def _max_in_reach_count(
+    cen: np.ndarray, pos_q: np.ndarray, reach: float, budget: int = 1024
+) -> int:
+    """max over tile centers of |{q : |q - center| < reach}| without the
+    O(T*Q) all-pairs count (~25 min on the 1-core host at crossbar scale).
+
+    Branch and bound: bucket the Q points on a grid of cell edge reach/2
+    (every in-reach point of a center lies in the center's 5^3-cell
+    window, so the window count upper-bounds the tile's), then count
+    exactly in DESCENDING upper-bound order, stopping as soon as the best
+    exact count meets the next tile's bound — exact when it stops, and an
+    underestimate only if the ``budget`` backstop trips first. The
+    backstop case is a near-uniform charged field, where tile maxima are
+    near-ties and the top-``budget`` sample tracks the global max
+    closely; the 1.5x sizing margin plus the runtime candidate-cap
+    overflow growth cover the residual. Counting runs in f32 above 1e7
+    pair evaluations (a +-1 count at the fp boundary is irrelevant to a
+    cap)."""
+    cen = np.asarray(cen)
+    h = reach / 2.0
+    lo = pos_q.min(axis=0)
+    ci = np.floor((pos_q - lo) / h).astype(np.int64)
+    dims = ci.max(axis=0) + 1
+    order = None
+    ub = None
+    if int(np.prod(dims + 4)) <= int(1e8):
+        grid = np.zeros(tuple(dims), np.int64)
+        np.add.at(grid, tuple(ci.T), 1)
+        pad = np.pad(grid, 2)
+        nb = np.zeros_like(grid)
+        for dx in range(5):
+            for dy in range(5):
+                for dz in range(5):
+                    nb += pad[dx:dx + dims[0], dy:dy + dims[1],
+                              dz:dz + dims[2]]
+        # a center outside the charged bbox clips to a border cell whose
+        # window contains every point within reach of it (all points live
+        # inside the bbox), so the bound stays valid
+        tcell = np.clip(
+            np.floor((cen - lo) / h).astype(np.int64), 0, dims - 1
+        )
+        ub = nb[tuple(tcell.T)]
+        order = np.argsort(-ub)
+    else:                                    # degenerate tiny-reach case
+        order = np.arange(cen.shape[0])
+    mx = 0
+    chunk = max(1, min(256, int(2e8 // max(1, pos_q.shape[0]))))
+    dt = np.float32 if chunk * pos_q.shape[0] > int(1e7) else np.float64
+    pq = pos_q.astype(dt)
+    cen_d = cen.astype(dt)
+    qq2 = (pq * pq).sum(axis=1)
+    qT = pq.T.copy()
+    for s in range(0, order.shape[0], chunk):
+        if ub is not None and s > 0 and mx >= int(ub[order[s]]):
+            break                            # proven exact
+        if ub is not None and s >= budget:
+            break                            # approximate: growth path
+        idx = order[s:s + chunk]
+        cc = cen_d[idx]
+        # |c-q|^2 = |c|^2 + |q|^2 - 2 c.q as a BLAS gemm — the broadcast
+        # subtract form moves 3x the bytes and ran minutes at this scale
+        d2q = (cc * cc).sum(axis=1)[:, None] + qq2[None, :] - 2.0 * (cc @ qT)
+        mx = max(mx, int((d2q < dt(reach * reach)).sum(axis=1).max()))
+    return mx
