@@ -96,6 +96,8 @@ def run(
     synthesize_crossbar: Optional[int] = None,
     rate_normalize: Optional[bool] = None,
     concern_split: Optional[tuple] = None,
+    batched_events: int = 0,
+    batched_mass_eps: float = 1e-3,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
 
@@ -161,6 +163,7 @@ def run(
     model = VCMModel(p, lat, rate_normalize=rate_normalize)
     state = make_device_state(lat, p.background_temp)
     kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
+    batch_key = jax.random.PRNGKey(p.rnd_seed_kmc) if batched_events else None
 
     groups = None
     if concern_split is not None:
@@ -276,6 +279,16 @@ def run(
                 stats_list = [stats]
             elif module_timing:
                 state, stats = model.superstep_timed(state, Vd, kmc_stream)
+                stats_list = [stats]
+            elif batched_events:
+                # production throughput mode: multi-event batched
+                # residence-time loop (threefry stream, not reference-stream
+                # parity; waiting-time staleness bounded by batched_mass_eps
+                # per batch — ops/events.py::run_event_loop_batched)
+                state, stats, batch_key = model.superstep_native_batched(
+                    state, Vd, batch_key, batch=batched_events,
+                    mass_eps=batched_mass_eps,
+                )
                 stats_list = [stats]
             elif spd > 1:
                 state, stats_list = model.superstep_multi(
@@ -434,6 +447,19 @@ def main():
              "reference dead-codes (comm_T nulled)",
     )
     ap.add_argument(
+        "--batched-events", type=int, default=0, metavar="B",
+        help="production throughput mode: multi-event batched residence-"
+             "time loop with B-candidate exponential-race batches (threefry "
+             "stream, NOT reference-stream parity; ~10x event throughput at "
+             "crossbar scale, BENCH_crossbar_full40nm_r03)",
+    )
+    ap.add_argument(
+        "--mass-eps", type=float, default=1e-3,
+        help="batched loop's killed-mass staleness bound: relative waiting-"
+             "time distortion per batch (looser = more events/batch; "
+             "measured scan in PERF_NOTES round 3)",
+    )
+    ap.add_argument(
         "--concern-split", default=None, metavar="K:P",
         help="task-split the K and pairwise solves over disjoint device "
              "groups in ratio K:P (reference split=true, KMC_comm.h:132-223; "
@@ -457,6 +483,8 @@ def main():
         module_timing=args.module_timing,
         synthesize_crossbar=args.synthesize_crossbar,
         concern_split=concern_split,
+        batched_events=args.batched_events,
+        batched_mass_eps=args.mass_eps,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 

@@ -218,3 +218,22 @@ def test_concern_split_driver(tmp_path, monkeypatch):
     assert db.kmc_times == da.kmc_times          # identical trajectory
     out = open(tmp_path / "b" / "output1_0.txt").read()
     assert "Concern groups: 2 K-solve device(s) + 6 pairwise device(s)" in out
+
+
+def test_batched_events_driver(tmp_path, monkeypatch):
+    """--batched-events B: the driver's production throughput mode runs the
+    multi-event batched residence-time loop (threefry stream) end-to-end —
+    events execute, the clock advances, and the log schema is intact."""
+    from akmc_tpu.runtime import driver
+
+    deck, p = _write_toy_deck(tmp_path)
+    _patch_layers(monkeypatch, p)
+    summary = driver.run(
+        str(deck), workdir=str(tmp_path / "out"), max_supersteps=3,
+        log=False, batched_events=8,
+    )
+    assert summary["total_steps"] >= 1
+    out = open(tmp_path / "out" / "output1_0.txt").read()
+    times = [float(m) for m in re.findall(r"KMC time is: ([\d.eE+-]+)", out)]
+    assert times and all(t > 0 for t in times)
+    assert "kmc events" in out
