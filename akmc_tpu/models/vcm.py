@@ -72,9 +72,12 @@ class StaticTables(NamedTuple):
     pos: jax.Array
     neigh_idx: jax.Array
     k_neigh_idx: jax.Array
-    cutoff_idx: jax.Array
-    self2_nn: jax.Array           # v_solve(d_ij, 2) on the neighbor table
-    layer_nbr: jax.Array
+    # full-N cutoff/self2/layer tables: always None at runtime (dead —
+    # the event engine consumes the act-compacted forms below); the fields
+    # remain for pytree-shape stability of existing jit signatures
+    cutoff_idx: Optional[jax.Array]
+    self2_nn: Optional[jax.Array]
+    layer_nbr: Optional[jax.Array]
     any_metal_nbr: jax.Array
     metal_edge: jax.Array
     metal_or_edge: jax.Array
@@ -179,28 +182,26 @@ class VCMModel:
         p, lat = self.params, self.lat
         f64 = jnp.float64
 
+        # AKMC_INIT_TIMING=1: stderr phase report of the constructor —
+        # the [model] phase was 649 s at the 2.41M-site crossbar
+        # (probe_crossbar_timing r03) and needs attribution, not guesses
+        import os as _os
+        import sys as _sys
+        import time as _time_mod
+
+        _marks = [_time_mod.perf_counter()]
+
+        def _mark(name):
+            if _os.environ.get("AKMC_INIT_TIMING"):
+                now = _time_mod.perf_counter()
+                print(f"[init] {name}: {now - _marks[0]:.1f}s",
+                      file=_sys.stderr)
+                _marks[0] = now
+
         pos_np = np.stack([lat.x, lat.y, lat.z], axis=1)
 
-        # neighbor distances for event self-interaction terms: non-PBC
-        # Euclidean, in meters (kmc_events.cu:154-155); padded slots -> 1.0.
-        # Positions are static, so the screened-Coulomb self-interaction
-        # kernel v_solve(d, 2) is precomputed once (no runtime erfc).
-        from scipy.special import erfc as _erfc
-
-        jc = np.clip(lat.neigh_idx, 0, None)
-        d = np.sqrt(((pos_np[:, None, :] - pos_np[jc]) ** 2).sum(-1)) * 1e-10
-        d[lat.neigh_idx < 0] = 1.0
-        # the shipped 5nm structure contains coincident sites (5759/5760 at
-        # identical coordinates): d=0 between metal sites. The reference
-        # would produce inf there but never reads it (metals host no events);
-        # zero it to keep NaNs out of masked arithmetic.
-        coincident = d == 0.0
-        d[coincident] = 1.0
-        q_e = 1.60217663e-19
-        self2 = 2.0 * _erfc(d / (p.sigma * np.sqrt(2.0))) * p.k * q_e / d
-        self2[coincident] = 0.0
-
         is_metal_np = metal_mask(lat.element0, p.metals)
+        jc = np.clip(lat.neigh_idx, 0, None)
         kjc = np.clip(lat.k_neigh_idx, 0, None)
 
         # adaptive static caps: sized from the initial defect population with
@@ -216,12 +217,38 @@ class VCMModel:
         # {DEFECT, O, VACANCY, OXYGEN_DEFECT} is invariant under every event
         # type (execute_event, kmc_events.cu:292-331), so rows outside it
         # carry exactly-zero rates forever and can be dropped up front.
-        layer_nbr_np = lat.site_layer[jc]
         active_np = np.isin(
             lat.element0,
             [int(ELEM.DEFECT), int(ELEM.O), int(ELEM.VACANCY), int(ELEM.OXYGEN_DEFECT)],
         )
         act = np.nonzero(active_np)[0].astype(np.int32)
+
+        # neighbor distances for event self-interaction terms: non-PBC
+        # Euclidean, in meters (kmc_events.cu:154-155); padded slots -> 1.0.
+        # Positions are static, so the screened-Coulomb self-interaction
+        # kernel v_solve(d, 2) is precomputed once (no runtime erfc) — and
+        # ONLY on the active rows: the full-N (N, NN, 3) broadcast measured
+        # 85 s of host time at the 1.08M-slot crossbar (AKMC_INIT_TIMING),
+        # and nothing reads the full-N table at runtime (the event engine
+        # consumes the act-compacted act_self2).
+        from scipy.special import erfc as _erfc
+
+        jc_act = jc[act]
+        d = np.sqrt(
+            ((pos_np[act][:, None, :] - pos_np[jc_act]) ** 2).sum(-1)
+        ) * 1e-10
+        d[lat.neigh_idx[act] < 0] = 1.0
+        # the shipped 5nm structure contains coincident sites (5759/5760 at
+        # identical coordinates): d=0 between metal sites. The reference
+        # would produce inf there but never reads it (metals host no events);
+        # zero it to keep NaNs out of masked arithmetic.
+        coincident = d == 0.0
+        d[coincident] = 1.0
+        q_e = 1.60217663e-19
+        self2_act = 2.0 * _erfc(d / (p.sigma * np.sqrt(2.0))) * p.k * q_e / d
+        self2_act[coincident] = 0.0
+
+        _mark("self2 nn kernel (act rows)")
         na_pad = _round_up(len(act) + 1, self.act_pad)   # >= 1 all-zero pad row
         act_idx_np = np.full(na_pad, -1, np.int32)
         act_idx_np[: len(act)] = act
@@ -245,11 +272,11 @@ class VCMModel:
             np.take_along_axis(nbr_act_rows, order_cols, axis=1),
             -1,
         )
-        act_self2_np = np.zeros((na_pad, nn_act), self2.dtype)
-        act_self2_np[: len(act)] = np.take_along_axis(self2[act], order_cols, axis=1)
+        act_self2_np = np.zeros((na_pad, nn_act), self2_act.dtype)
+        act_self2_np[: len(act)] = np.take_along_axis(self2_act, order_cols, axis=1)
         act_layer_np = np.zeros((na_pad, nn_act), np.int32)
         act_layer_np[: len(act)] = np.take_along_axis(
-            layer_nbr_np[act], order_cols, axis=1
+            lat.site_layer[jc_act], order_cols, axis=1
         )
         act_zero_np = np.concatenate(
             [
@@ -259,13 +286,19 @@ class VCMModel:
             axis=1,
         ).astype(np.int32)
 
+        _mark("active-row/column compaction")
         self.tables = StaticTables(
             pos=jnp.asarray(pos_np, f64),
             neigh_idx=jnp.asarray(lat.neigh_idx, jnp.int32),
             k_neigh_idx=jnp.asarray(lat.k_neigh_idx, jnp.int32),
-            cutoff_idx=jnp.asarray(lat.cutoff_idx, jnp.int32),
-            self2_nn=jnp.asarray(self2, f64),
-            layer_nbr=jnp.asarray(layer_nbr_np, jnp.int32),
+            # full-N cutoff/self2/layer tables are DEAD at runtime (the
+            # event engine reads only the act-compacted forms): never
+            # computed or device-put — at 5 nm cutoff_idx alone was a
+            # ~570 MB tunnel transfer, at the crossbar self2 was 85 s of
+            # host broadcast (AKMC_INIT_TIMING r03)
+            cutoff_idx=None,
+            self2_nn=None,
+            layer_nbr=None,
             any_metal_nbr=jnp.asarray(
                 (is_metal_np[jc] & (lat.neigh_idx >= 0)).any(axis=1)
             ),
@@ -288,6 +321,7 @@ class VCMModel:
             act_zero_rows=jnp.asarray(act_zero_np),
         )
 
+        _mark("StaticTables device puts")
         # static pairwise interaction table (charged sites are always drawn
         # from the active class, so its rows cover every possible source);
         # abs2act doubles as the site -> table-row map. On the dd-emulated
@@ -345,6 +379,7 @@ class VCMModel:
         if self.pair_cand_cap is None:
             self.pair_cand_cap = 256
 
+        _mark("pair table/tiling + cand-cap sizer")
         self.dia: Optional[DiaK] = None
         self.dia_meta = None
         self.banded: Optional[BandedK] = None
@@ -363,6 +398,7 @@ class VCMModel:
             )
             if built is not None:
                 self.banded, self.band_meta = built
+        _mark("K operator build (DIA/banded)")
 
         self._fields_jit = jax.jit(self._fields)
         self._events_jit = jax.jit(self._events)

@@ -83,37 +83,43 @@ def build_dia_k(
     valid = k_neigh_idx >= 0
     if not valid.any():
         return None
-    jc = np.clip(k_neigh_idx, 0, None)
-    rows = np.repeat(np.arange(n), k_neigh_idx.shape[1]).reshape(n, -1)
-    offs = np.where(valid, jc - rows, 0)
-    uniq = np.unique(offs[valid])
+    # edge-list form: every (N, KNN) f64/bool intermediate of the previous
+    # dense form cost seconds of host memory traffic each (measured 49-60 s
+    # total at the 1.08M-slot crossbar; this form builds in ~2 s). The
+    # row-sum accumulation order changes (bincount vs axis-reduce) — a
+    # <=1 ulp difference on the static degree vector, permitted on the DIA
+    # (production, non-parity) path; the golden 5 nm device uses the
+    # banded operator.
+    rows_v, cols_v = np.nonzero(valid)
+    jc_v = k_neigh_idx[rows_v, cols_v].astype(np.int64)
+    offs_v = jc_v - rows_v
+    uniq = np.unique(offs_v)
     if len(uniq) > max_diags:
         return None
 
-    dG = high_G - low_G
-    mm = is_metal[:, None] & is_metal[jc] & valid
-    vals = np.where(valid, np.where(mm, high_G, low_G), 0.0)
+    mm_v = is_metal[rows_v] & is_metal[jc_v]
+    vals_v = np.where(mm_v, high_G, low_G)
 
-    off_index = {int(o): d for d, o in enumerate(uniq)}
     diags = np.zeros((len(uniq), n), np.int8)
-    r = rows[valid]
-    d_idx = np.array([off_index[int(o)] for o in offs[valid]])
-    np.add.at(diags, (d_idx, r), np.int8(1))
+    # np.unique returns uniq sorted, so the offset -> diagonal-index map is
+    # one vectorized searchsorted (the python dict-lookup loop over ~7M
+    # edges was the bulk of the 49 s DIA build at the 1.08M crossbar)
+    d_idx = np.searchsorted(uniq, offs_v)
+    np.add.at(diags, (d_idx, rows_v), np.int8(1))
     # no two edges may share a (row, offset) slot — a collision would have
     # SUMMED values in an f64 diagonal, and code 2 is reserved for the
     # metal-metal value (a hard error, not an assert: python -O must not
     # silently produce a wrong K matrix)
     if int(diags.max()) > 1:
         raise ValueError("duplicate (row, offset) edge in k_neigh_idx")
-    mm_e = mm[valid]
-    np.add.at(diags, (d_idx[mm_e], r[mm_e]), np.int8(1))
+    np.add.at(diags, (d_idx[mm_v], rows_v[mm_v]), np.int8(1))
 
-    deg_static = vals.sum(1)
+    deg_static = np.bincount(rows_v, weights=vals_v, minlength=n)
     L = R = num_atoms_first_layer
-    in_left = valid & (jc < L)
-    in_right = valid & (jc >= n - R)
-    lsum = np.where(in_left, vals, 0.0).sum(1)
-    rsum = np.where(in_right, vals, 0.0).sum(1)
+    in_left = jc_v < L
+    in_right = jc_v >= n - R
+    lsum = np.bincount(rows_v[in_left], weights=vals_v[in_left], minlength=n)
+    rsum = np.bincount(rows_v[in_right], weights=vals_v[in_right], minlength=n)
 
     dia = DiaK(
         diags=jnp.asarray(diags),

@@ -402,9 +402,22 @@ def test_event_table_vs_oracle(toy):
     potential = rng.randn(lat.N) * 0.05
 
     t = model.tables
+    # the full-N self2/layer tables are no longer kept on the model (dead
+    # at runtime — only the act-compacted forms are); rebuild them here for
+    # the full-N-layout oracle comparison
+    from scipy.special import erfc as sp_erfc
+
+    pos = np.stack([lat.x, lat.y, lat.z], axis=1)
+    jc = np.clip(lat.neigh_idx, 0, None)
+    d = np.sqrt(((pos[:, None, :] - pos[jc]) ** 2).sum(-1)) * 1e-10
+    d[lat.neigh_idx < 0] = 1.0
+    d[d == 0.0] = 1.0
+    self2_nn = 2.0 * sp_erfc(d / (p.sigma * np.sqrt(2.0))) * p.k * 1.60217663e-19 / d
+    layer_nbr = lat.site_layer[jc]
     P, T = build_event_table(
         jnp.asarray(elem), jnp.asarray(charge), jnp.asarray(potential),
-        jnp.asarray(300.0), t.neigh_idx, t.self2_nn, t.layer_nbr,
+        jnp.asarray(300.0), jnp.asarray(lat.neigh_idx, jnp.int32),
+        jnp.asarray(self2_nn), jnp.asarray(layer_nbr, jnp.int32),
         t.E_gen, t.E_rec, t.E_Vdiff, t.E_Odiff,
         p.freq, p.sigma, p.k,
     )
