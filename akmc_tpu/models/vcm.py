@@ -165,6 +165,11 @@ class VCMModel:
                                     # block sums, refreshing only touched
                                     # blocks per event (bit-identical;
                                     # ablation flag — PERF_NOTES round 3)
+    pair_f32: bool = False          # tiled-pairwise plane in f32
+                                    # (production crossbar option; the
+                                    # f64 path is the default and the
+                                    # oracle — ops/pairwise.py docstring
+                                    # for the error model)
     k_carry_residual: bool = False  # batched path: rebase the warm K
                                     # solve's initial residual from the
                                     # previous superstep's final residual
@@ -496,7 +501,7 @@ class VCMModel:
             pot_pair, q_overflow, c_overflow = pairwise_potential_tiled(
                 t.pair_tiling, self._pair_r_tile, t.pos, charge,
                 p.cutoff_radius, p.sigma, p.k, qmax=self.qmax,
-                cand_cap=self.pair_cand_cap,
+                cand_cap=self.pair_cand_cap, plane_f32=self.pair_f32,
             )
         else:
             pot_pair, q_overflow = pairwise_potential(
@@ -882,7 +887,7 @@ class VCMModel:
                     pot_pair, q_ovf, c_ovf = pairwise_potential_tiled(
                         t.pair_tiling, self._pair_r_tile, t.pos, charge,
                         p.cutoff_radius, p.sigma, p.k, qmax=self.qmax,
-                        cand_cap=self.pair_cand_cap,
+                        cand_cap=self.pair_cand_cap, plane_f32=self.pair_f32,
                     )
                 else:
                     pot_pair, q_ovf = pairwise_potential(

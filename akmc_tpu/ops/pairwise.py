@@ -296,13 +296,27 @@ def pairwise_potential_tiled(
     #                            on overflow like qmax)
     tile_block: int = None,
     plane_budget: int = 512 * 1024 * 1024,
+    plane_f32: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns ((N,) potential, q_overflow, cand_overflow).
 
     Same pair set as ``pairwise_potential`` (the extra tile filter only
     removes pairs beyond the cutoff); per-site summation order follows the
     per-tile candidate list instead of the global charged list, so values
-    agree to summation-order reassociation (oracle-tested)."""
+    agree to summation-order reassociation (oracle-tested).
+
+    ``plane_f32``: evaluate the (B, S, C) distance/erfc kernel plane in
+    f32 (production crossbar option — the dd-emulated f64 pays ~10x per
+    op for the dominant fields plane). The f64 path stays the default
+    and the validation oracle. Error model: coordinates are exact in f32
+    to ~1e-5 relative, the difference-first d2 has no cancellation, and
+    the per-site sum over <=C kernel terms lands ~1e-6 relative on the
+    potential — ~1e-6 eV on activation energies, far below kT/25. The
+    in-cutoff membership test also rounds in f32, so a pair within
+    ~1e-5 relative of the cutoff shell may classify differently from the
+    f64 path (physically meaningless at the shell edge, but a REAL pair-set
+    difference — not just rounding: tests compare against a matching-mode
+    oracle)."""
     n = pos.shape[0]
     dt = pos.dtype
     T, S = tiling.tile_sites.shape
@@ -360,8 +374,9 @@ def pairwise_potential_tiled(
     candq = candq.reshape(nfb * fblk, cand_cap)[:T]
     cand_overflow = jnp.max(cnt.reshape(-1)[: nfb * fblk]) > cand_cap
     sel = mvals > 0                                    # (T, C)
-    q_posc = q_pos[candq]                              # (T, C, 3)
-    q_valc = jnp.where(sel, q_val[candq], 0.0)
+    pdt = jnp.float32 if plane_f32 else dt
+    q_posc = q_pos.astype(pdt)[candq]                  # (T, C, 3)
+    q_valc = jnp.where(sel, q_val[candq], 0.0).astype(pdt)
     q_sitec = jnp.where(sel, q_idx[candq], -1)         # absolute site ids
 
     if tile_block is None:
@@ -371,18 +386,21 @@ def pairwise_potential_tiled(
         )
     nblk = -(-T // tile_block)
 
+    cut2_p = cut2.astype(pdt)
+    inv_sig_p = jnp.asarray(inv_sig, pdt)
+
     def block(a):
         ts, ptile, qp, qw, qs = a
         d2 = jnp.sum(
             (ptile[:, :, None, :] - qp[:, None, :, :]) ** 2, axis=-1
         )                                              # (B, S, C)
         valid = (
-            (d2 < cut2)
+            (d2 < cut2_p)
             & (ts[:, :, None] != qs[:, None, :])
             & (qs[:, None, :] >= 0)
         )
-        d = 1e-10 * jnp.sqrt(jnp.where(valid, d2, 1.0))
-        v = qw[:, None, :] * erfc(d * inv_sig) * kq / d
+        d = jnp.asarray(1e-10, pdt) * jnp.sqrt(jnp.where(valid, d2, 1.0))
+        v = qw[:, None, :] * erfc(d * inv_sig_p) * jnp.asarray(kq, pdt) / d
         return jnp.sum(jnp.where(valid, v, 0.0), axis=2)   # (B, S)
 
     def pad_blk(a, fill):
@@ -398,12 +416,12 @@ def pairwise_potential_tiled(
         block,
         (
             pad_blk(tiling.tile_sites, -1),
-            pad_blk(tiling.pos_tiles, 1e30),
+            pad_blk(tiling.pos_tiles.astype(pdt), 1e30),
             pad_blk(q_posc, 0.0),
             pad_blk(q_valc, 0.0),
             pad_blk(q_sitec, -1),
         ),
-    ).reshape(nblk * tile_block, S)[:T]
+    ).reshape(nblk * tile_block, S)[:T].astype(dt)
 
     pot = jnp.zeros(n, dt).at[tiling.tile_sites.clip(0)].add(
         jnp.where(tiling.tile_sites >= 0, vals, 0.0)

@@ -216,7 +216,7 @@ class ConcernGroups:
                 pot_pair, q_ovf, c_ovf = pairwise_potential_tiled(
                     t.pair_tiling, model._pair_r_tile, t.pos, charge,
                     p.cutoff_radius, p.sigma, p.k, qmax=model.qmax,
-                    cand_cap=model.pair_cand_cap,
+                    cand_cap=model.pair_cand_cap, plane_f32=model.pair_f32,
                 )
             else:
                 pot_pair, q_ovf = pairwise_potential(

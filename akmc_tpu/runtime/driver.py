@@ -98,6 +98,7 @@ def run(
     concern_split: Optional[tuple] = None,
     batched_events: int = 0,
     batched_mass_eps: float = 1e-3,
+    pair_f32: bool = False,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
 
@@ -160,7 +161,7 @@ def run(
         # The parity default (False) is kept for low-bias decks like the
         # golden 5 nm (Vd=5).
         rate_normalize = bool(p.V_switch) and max(abs(v) for v in p.V_switch) >= 8.0
-    model = VCMModel(p, lat, rate_normalize=rate_normalize)
+    model = VCMModel(p, lat, rate_normalize=rate_normalize, pair_f32=pair_f32)
     state = make_device_state(lat, p.background_temp)
     kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
     batch_key = jax.random.PRNGKey(p.rnd_seed_kmc) if batched_events else None
@@ -460,6 +461,13 @@ def main():
              "measured scan in PERF_NOTES round 3)",
     )
     ap.add_argument(
+        "--pair-f32", action="store_true",
+        help="evaluate the tiled-pairwise kernel plane in f32 (production "
+             "crossbar option; bounded ~1e-6 relative potential error — "
+             "ops/pairwise.py docstring). The f64 plane stays the default "
+             "and the parity/oracle path.",
+    )
+    ap.add_argument(
         "--concern-split", default=None, metavar="K:P",
         help="task-split the K and pairwise solves over disjoint device "
              "groups in ratio K:P (reference split=true, KMC_comm.h:132-223; "
@@ -485,6 +493,7 @@ def main():
         concern_split=concern_split,
         batched_events=args.batched_events,
         batched_mass_eps=args.mass_eps,
+        pair_f32=args.pair_f32,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 

@@ -167,3 +167,41 @@ def test_max_in_reach_count():
     d2 = ((cen[:, None, :] - pos_q[None, :, :]) ** 2).sum(-1)
     exact = int((d2 < 64.0).sum(axis=1).max())
     assert _max_in_reach_count(cen, pos_q, 8.0) == exact
+
+
+def test_pair_f32_production_statistics():
+    """pair_f32 (f32 kernel plane) on the toy crossbar production config:
+    trajectories cannot be bit-identical (the potential differs at 1e-6
+    relative), but the superstep event statistics must stay consistent
+    with the f64 plane from the same initial state and key."""
+    import jax
+
+    from akmc_tpu.models.crossbar import build_grid_crossbar
+    from akmc_tpu.models.vcm import VCMModel
+    from akmc_tpu.state import make_device_state
+
+    p, lat = build_grid_crossbar(
+        n_yz=8, contact_slices=3, oxide_slices=8, ti_slices=3,
+        defect_fraction=0.2, vacancy_concentration=0.1, seed=11,
+    )
+
+    def run(f32):
+        model = VCMModel(
+            p, lat, rate_normalize=True, pair_table_budget=0,
+            pair_tiling_min_n=1, pair_f32=f32,
+        )
+        state = make_device_state(lat, p.background_temp)
+        key = jax.random.PRNGKey(3)
+        ev = 0
+        for _ in range(3):
+            state, stats, key = model.superstep_native_batched(
+                state, 15.0, key, batch=16
+            )
+            ev += stats["n_events"]
+        return ev, float(state.kmc_time)
+
+    ev64, t64 = run(False)
+    ev32, t32 = run(True)
+    assert ev64 >= 3 and ev32 >= 3
+    assert 0.3 <= (ev32 + 1) / (ev64 + 1) <= 3.0
+    assert np.isfinite(t32) and t32 > 0

@@ -527,3 +527,54 @@ def test_pairwise_tiled_matches_on_the_fly(toy):
         p.cutoff_radius, p.sigma, p.k, qmax=64, cand_cap=2,
     )
     assert bool(c_ovf2)
+
+
+def test_pairwise_tiled_f32_plane_close(toy):
+    """plane_f32=True (production crossbar option): the f32 kernel plane
+    must track the f64 oracle to f32-roundoff-level relative error on
+    every site whose pair set classifies identically — sites with a pair
+    within f32 roundoff of the cutoff shell may differ by one whole pair
+    term (documented in the pairwise docstring), so the comparison masks
+    the shell-ambiguous sites explicitly rather than loosening the
+    tolerance for everyone."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.ops.pairwise import (
+        build_pair_tiling,
+        pairwise_potential,
+        pairwise_potential_tiled,
+    )
+
+    p, lat = toy
+    charge = np.zeros(lat.N, np.int32)
+    charge[lat.element0 == int(ELEM.VACANCY)] = 2
+    charge[lat.element0 == int(ELEM.OXYGEN_DEFECT)] = -2
+
+    pos_np = np.stack([lat.x, lat.y, lat.z], 1)
+    pos = jnp.asarray(pos_np)
+    tiling, r_tile = build_pair_tiling(pos_np, p.cutoff_radius, tile_edge=4.0)
+    got32, q_ovf, c_ovf = pairwise_potential_tiled(
+        tiling, r_tile, pos, jnp.asarray(charge),
+        p.cutoff_radius, p.sigma, p.k, qmax=64, cand_cap=64, plane_f32=True,
+    )
+    want, _ = pairwise_potential(
+        pos, jnp.asarray(charge), p.cutoff_radius, p.sigma, p.k, qmax=64
+    )
+    assert not bool(q_ovf) and not bool(c_ovf)
+    got32 = np.asarray(got32)
+    want = np.asarray(want)
+    assert got32.dtype == np.float64     # accumulated result is f64-typed
+
+    # shell-ambiguous sites: any charged pair within f32 roundoff of the
+    # cutoff (relative band on d^2 scaled to the coordinate magnitude)
+    qsel = np.nonzero(charge != 0)[0]
+    d2 = ((pos_np[:, None, :] - pos_np[qsel][None, :, :]) ** 2).sum(-1)
+    cut2 = p.cutoff_radius ** 2
+    band = 64 * 1.2e-7 * max(cut2, (np.abs(pos_np).max() ** 2))
+    ambiguous = (np.abs(d2 - cut2) < band).any(axis=1)
+    sel = ~ambiguous
+    assert sel.sum() > 0
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(
+        got32[sel], want[sel], rtol=2e-5, atol=2e-6 * scale
+    )

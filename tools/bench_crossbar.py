@@ -51,7 +51,8 @@ def main():
     print(f"[build] N={lat.N} slots in {t_build:.1f}s", file=sys.stderr)
 
     model = VCMModel(
-        p, lat, rate_normalize=True, event_select_incremental=inc_sel
+        p, lat, rate_normalize=True, event_select_incremental=inc_sel,
+        pair_f32="--pair-f32" in sys.argv,
     )
     # rate_normalize: this runtime's emulated f64 carries only the f32
     # exponent range; at Vd=15 absolute rates overflow it (PERF_NOTES)
@@ -129,6 +130,7 @@ def main():
                     f"batched B={batched} mass_eps={mass_eps}"
                     if batched else "serial"
                 ),
+                "pair_plane": "f32" if model.pair_f32 else "f64",
                 "warmup_compile_s": round(t_warm, 1),
                 "first_superstep_s": round(t_first, 1),
                 "build_s": round(t_build, 1),
