@@ -163,8 +163,11 @@ class VCMModel:
                                     # does not fit and N is at least this
     event_select_incremental: bool = False  # carry the event-selection
                                     # block sums, refreshing only touched
-                                    # blocks per event (bit-identical;
-                                    # ablation flag — PERF_NOTES round 3)
+                                    # blocks per event (same event sequence
+                                    # and elements exactly; waiting times
+                                    # to 1 ulp — the two variants compile
+                                    # to different XLA reduction trees.
+                                    # Ablation flag — PERF_NOTES round 3)
     pair_f32: bool = False          # tiled-pairwise plane in f32
                                     # (production crossbar option; the
                                     # f64 path is the default and the

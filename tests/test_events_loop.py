@@ -301,9 +301,13 @@ def test_normalized_rates_resume_chunk_exhaustion():
 
 
 def test_incremental_select_is_bit_identical():
-    """Carried-block-sum selection (event_select_incremental=True) must be
-    BIT-identical to the per-event fresh reduce: touched blocks recompute
-    the same (BLK,)-axis sum over the same R values."""
+    """Carried-block-sum selection (event_select_incremental=True) must
+    reproduce the per-event fresh reduce: same event sequence and
+    elements EXACTLY. Waiting times are compared to 1 ulp, not bit-equal:
+    the two variants compile to different programs and XLA's reduction
+    tree for the block sums shifts with unrelated surrounding code
+    (measured round 3: the same two code paths were bit-equal or one ulp
+    apart depending on which commit they were compiled under)."""
     import numpy as np
 
     from akmc_tpu.models.vcm import VCMModel
@@ -329,5 +333,7 @@ def test_incremental_select_is_bit_identical():
     s_i, ev_i, t_i = run(event_select_incremental=True)
     assert ev_i == ev_a
     np.testing.assert_array_equal(np.asarray(s_i.element), np.asarray(s_a.element))
-    assert t_i == t_a                                     # bit-identical
-    assert float(s_i.kmc_time) == float(s_a.kmc_time)
+    np.testing.assert_allclose(t_i, t_a, rtol=1e-15, atol=0.0)
+    np.testing.assert_allclose(
+        float(s_i.kmc_time), float(s_a.kmc_time), rtol=1e-14, atol=0.0
+    )
