@@ -172,6 +172,16 @@ def run_grid(n_yz: int, solve: bool) -> dict:
 
 def main():
     args = [a for a in sys.argv[1:]]
+    if "--cpu" in args:
+        # host-init measurement independent of the accelerator (also the
+        # only way to run while the TPU tunnel is down): must be set via
+        # jax.config BEFORE backend init — the sitecustomize force-selects
+        # the axon platform in every process
+        args.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     if "--tiled" in args:
         args.remove("--tiled")
         ny = int(args[0]) if args else 8
