@@ -351,9 +351,15 @@ def build_lattice(
     params,
     cache_dir: Optional[str] = None,
     need_cutoff_table: bool = False,
+    precomputed_lists: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Lattice:
     """Construct connectivity (optionally cached on disk — positions are
-    static, so lists are reusable across runs of the same structure)."""
+    static, so lists are reusable across runs of the same structure).
+
+    ``precomputed_lists``: (neigh_idx, k_neigh_idx) built by a
+    structure-aware generator (the grid-native crossbar builds them
+    analytically — models/crossbar.py::grid_neighbor_list); skips the
+    spatial search entirely. The disk cache still applies on top."""
     lattice_dims = np.asarray(params.lattice, dtype=np.float64)
     pos = np.stack([x, y, z], axis=1)
 
@@ -374,6 +380,20 @@ def build_lattice(
         neigh_idx = data["neigh_idx"]
         k_neigh_idx = data["k_neigh_idx"]
         cutoff_idx = data["cutoff_idx"]
+    elif precomputed_lists is not None:
+        neigh_idx, k_neigh_idx = precomputed_lists
+        if need_cutoff_table:
+            cutoff_idx, _ = build_cutoff_list(pos, element, params.cutoff_radius)
+        else:
+            cutoff_idx = np.zeros((len(x), 0), np.int32)
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez_compressed(
+                cache_path,
+                neigh_idx=neigh_idx,
+                k_neigh_idx=k_neigh_idx,
+                cutoff_idx=cutoff_idx,
+            )
     else:
         # builder priority: native C++ cell lists > device (TPU) top_k scan
         # > numpy reference scan — all three produce identical tables

@@ -302,6 +302,84 @@ def synthesize_deck_structure(p, n_yz: int, a: float = 2.131255,
     return p_patched, e, x, y, z
 
 
+def grid_neighbor_list(
+    n_yz: int,
+    nx_total: int,
+    a: float,
+    nn_dist: float,
+    max_nn: int,
+) -> np.ndarray:
+    """Analytic neighbor list for the grid-native two-sublattice stack:
+    the slot enumeration index(ix, s, iy, iz) = ((ix*2+s)*n_yz + iy)*n_yz
+    + iz makes every in-cutoff neighbor a STATIC linear-index offset, so
+    the list is index arithmetic + boundary masks — no spatial search.
+    Produces the identical (n, max_nn) table (same neighbors, same
+    ascending-index order, -1 padded) as the native C++ cell-list builder
+    at ~20x less host time at the 2.37M-site scale (the cell list was the
+    234 s init bottleneck, BENCH_init_r03). Equality is pinned by
+    tests/test_crossbar.py::test_grid_neighbor_list_matches_cell_list.
+
+    Open boundaries (the crossbar decks run pbc=0)."""
+    n = nx_total * 2 * n_yz * n_yz
+    idx = np.arange(n, dtype=np.int64)
+    iz = idx % n_yz
+    iy = (idx // n_yz) % n_yz
+    sx = idx // (n_yz * n_yz)
+    s = (sx % 2).astype(np.int32)
+    ix = (sx // 2).astype(np.int64)
+
+    # static offset classes per source sublattice, ascending linear delta
+    r2 = nn_dist * nn_dist
+    m = int(np.ceil(nn_dist / a)) + 1
+    classes = {0: [], 1: []}
+    for ss in (0, 1):
+        for tt in (0, 1):
+            h = (tt - ss) * 0.5
+            for djx in range(-m, m + 1):
+                for djy in range(-m, m + 1):
+                    for djz in range(-m, m + 1):
+                        if ss == tt and djx == djy == djz == 0:
+                            continue
+                        dx = (djx + h) * a
+                        dy = (djy + h) * a
+                        dz = (djz + h) * a
+                        if dx * dx + dy * dy + dz * dz < r2:
+                            delta = (
+                                (djx * 2 + (tt - ss)) * n_yz + djy
+                            ) * n_yz + djz
+                            classes[ss].append((delta, djx, djy, djz))
+    for ss in (0, 1):
+        classes[ss].sort()
+    K = max(len(classes[0]), len(classes[1]))
+
+    jmat = np.full((n, K), -1, np.int32)
+    for ss in (0, 1):
+        rows = s == ss
+        for k, (delta, djx, djy, djz) in enumerate(classes[ss]):
+            jx = ix + djx
+            jy = iy + djy
+            jz = iz + djz
+            ok = (
+                rows
+                & (jx >= 0) & (jx < nx_total)
+                & (jy >= 0) & (jy < n_yz)
+                & (jz >= 0) & (jz < n_yz)
+            )
+            jmat[ok, k] = (idx + delta)[ok].astype(np.int32)
+
+    # pack valid entries left (stable: preserves ascending-delta order)
+    order = np.argsort(jmat < 0, axis=1, kind="stable")
+    packed = np.take_along_axis(jmat, order, axis=1)
+    found = int((packed >= 0).sum(axis=1).max())
+    if found > max_nn:
+        raise ValueError(
+            f"grid neighbor list needs {found} slots > max_num_neighbors={max_nn}"
+        )
+    out = np.full((n, max_nn), -1, np.int32)
+    out[:, : min(K, max_nn)] = packed[:, : min(K, max_nn)]
+    return out
+
+
 def build_grid_crossbar(
     n_yz: int = 24,
     contact_slices: int = 10,
@@ -348,7 +426,12 @@ def build_grid_crossbar(
         perturb_structure=True,
         initial_vacancy_concentration=vacancy_concentration,
     )
-    lat = build_lattice(e, x, y, z, p, cache_dir=cache_dir)
+    nx_total = 2 * contact_slices + oxide_slices + ti_slices
+    nl = grid_neighbor_list(n_yz, nx_total, a, p.nn_dist, p.max_num_neighbors)
+    # open boundaries (pbc=0): the K adjacency equals the neighbor list
+    lat = build_lattice(
+        e, x, y, z, p, cache_dir=cache_dir, precomputed_lists=(nl, nl)
+    )
     mask_null_slots(lat)
     return p, lat
 

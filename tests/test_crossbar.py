@@ -205,3 +205,28 @@ def test_pair_f32_production_statistics():
     assert ev64 >= 3 and ev32 >= 3
     assert 0.3 <= (ev32 + 1) / (ev64 + 1) <= 3.0
     assert np.isfinite(t32) and t32 > 0
+
+
+def test_grid_neighbor_list_matches_cell_list():
+    """The analytic grid-native neighbor builder must reproduce the native
+    C++ cell-list table EXACTLY (same neighbors, same ascending order,
+    same padding) — it replaces the 234 s spatial search in crossbar init
+    (BENCH_init_r03)."""
+    from akmc_tpu import native
+    from akmc_tpu.models.crossbar import grid_neighbor_list, grid_stack
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native builder unavailable")
+
+    n_yz, cs, os_, ts = 10, 3, 6, 2
+    e, x, y, z, lattice, patch = grid_stack(
+        n_yz=n_yz, contact_slices=cs, oxide_slices=os_, ti_slices=ts,
+        defect_fraction=0.3, seed=0,
+    )
+    pos = np.stack([x, y, z], 1)
+    nn_dist, max_nn = 3.5, 52
+    want = native.neighbor_list_cell(pos, nn_dist, max_nn)
+    got = grid_neighbor_list(n_yz, 2 * cs + os_ + ts, 2.131255, nn_dist, max_nn)
+    np.testing.assert_array_equal(got, want)

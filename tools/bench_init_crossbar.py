@@ -80,7 +80,7 @@ def run_tiled(ny: int, nz: int) -> dict:
 def run_grid(n_yz: int, solve: bool) -> dict:
     from akmc_tpu.lattice import build_lattice
     from akmc_tpu.models.crossbar import (
-        crossbar_layers, grid_stack, mask_null_slots,
+        crossbar_layers, grid_neighbor_list, grid_stack, mask_null_slots,
     )
     from akmc_tpu.models.vcm import VCMModel
     from akmc_tpu.rng import ReferenceRNG
@@ -116,7 +116,15 @@ def run_grid(n_yz: int, solve: bool) -> dict:
         solve_potential=True, perturb_structure=True, pbc=False,
     )
     t0 = time.perf_counter()
-    lat = build_lattice(e, x, y, z, p, cache_dir=None)   # uncached: measure it
+    # the analytic grid-native list builder (the production path for
+    # grid-native structures; exact-equality-tested vs the C++ cell list)
+    nl = grid_neighbor_list(
+        n_yz, 2 * contact + oxide + ti, 2.131255, p.nn_dist,
+        p.max_num_neighbors,
+    )
+    lat = build_lattice(
+        e, x, y, z, p, cache_dir=None, precomputed_lists=(nl, nl)
+    )   # uncached: measure it
     mask_null_slots(lat)
     t_list = time.perf_counter() - t0
     print(f"index tables: {t_list:.1f} s", file=sys.stderr)
