@@ -41,9 +41,12 @@ def main():
     )
     print(f"[build] {time.perf_counter()-t0:.1f}s N={lat.N}", file=sys.stderr)
     t0 = time.perf_counter()
-    model = VCMModel(p, lat, rate_normalize=True)
+    model = VCMModel(
+        p, lat, rate_normalize=True, pair_f32="--pair-f32" in sys.argv
+    )
     print(f"[model] {time.perf_counter()-t0:.1f}s "
-          f"qmax={model.qmax} cand_cap={model.pair_cand_cap}",
+          f"qmax={model.qmax} cand_cap={model.pair_cand_cap} "
+          f"pair_f32={model.pair_f32}",
           file=sys.stderr)
     state = make_device_state(lat, p.background_temp)
     stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
