@@ -367,7 +367,10 @@ def grid_neighbor_list(
             )
             jmat[ok, k] = (idx + delta)[ok].astype(np.int32)
 
-    # pack valid entries left (stable: preserves ascending-delta order)
+    # pack valid entries left (stable: preserves ascending-delta order).
+    # Measured at 4.5M slots: this per-row stable argsort beats a
+    # cumsum-position flat scatter (80 vs 132 s — the (N*K,) nonzero +
+    # fancy double-index gathers lose on this host's ~2 GB/s memory)
     order = np.argsort(jmat < 0, axis=1, kind="stable")
     packed = np.take_along_axis(jmat, order, axis=1)
     found = int((packed >= 0).sum(axis=1).max())
