@@ -30,6 +30,11 @@ def prefix_count(mask: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix count of a boolean vector as f32 (exact: integer
     counts below 2^24)."""
     n = mask.shape[0]
+    if n >= 1 << 24:
+        raise ValueError(
+            f"prefix_count: N={n} >= 2^24 — f32 counts would lose exactness; "
+            "use jnp.nonzero or a blocked f64 variant at this scale"
+        )
     nb = -(-n // _B)
     m = jnp.zeros((nb * _B,), jnp.float32).at[:n].set(
         mask.astype(jnp.float32)
