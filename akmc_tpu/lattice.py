@@ -315,6 +315,10 @@ class Lattice:
     k_neigh_idx: np.ndarray         # (N, NN) PBC-aware table for K sparsity
     cutoff_idx: np.ndarray          # (N, N_cutoff) pairwise candidates
     site_layer: np.ndarray          # (N,) layer id per site
+    # grid-native descriptor (n_yz, nx_total, a) when the structure lives
+    # on the two-sublattice slot enumeration (models/crossbar.py) — lets
+    # downstream builders (DIA operator) use analytic generation
+    grid: Optional[Tuple[int, int, float]] = None
 
     @property
     def N(self) -> int:
@@ -352,6 +356,7 @@ def build_lattice(
     cache_dir: Optional[str] = None,
     need_cutoff_table: bool = False,
     precomputed_lists: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    grid: Optional[Tuple[int, int, float]] = None,
 ) -> Lattice:
     """Construct connectivity (optionally cached on disk — positions are
     static, so lists are reusable across runs of the same structure).
@@ -471,6 +476,7 @@ def build_lattice(
         k_neigh_idx=k_neigh_idx,
         cutoff_idx=cutoff_idx,
         site_layer=site_layer,
+        grid=grid,
     )
 
 

@@ -302,6 +302,34 @@ def synthesize_deck_structure(p, n_yz: int, a: float = 2.131255,
     return p_patched, e, x, y, z
 
 
+def _grid_offset_classes(n_yz: int, a: float, nn_dist: float):
+    """Static in-cutoff offset classes of the two-sublattice grid stack,
+    per source sublattice, sorted ascending by linear-index delta.
+    Entries: (delta, djx, djy, djz)."""
+    r2 = nn_dist * nn_dist
+    m = int(np.ceil(nn_dist / a)) + 1
+    classes = {0: [], 1: []}
+    for ss in (0, 1):
+        for tt in (0, 1):
+            h = (tt - ss) * 0.5
+            for djx in range(-m, m + 1):
+                for djy in range(-m, m + 1):
+                    for djz in range(-m, m + 1):
+                        if ss == tt and djx == djy == djz == 0:
+                            continue
+                        dx = (djx + h) * a
+                        dy = (djy + h) * a
+                        dz = (djz + h) * a
+                        if dx * dx + dy * dy + dz * dz < r2:
+                            delta = (
+                                (djx * 2 + (tt - ss)) * n_yz + djy
+                            ) * n_yz + djz
+                            classes[ss].append((delta, djx, djy, djz))
+    for ss in (0, 1):
+        classes[ss].sort()
+    return classes
+
+
 def grid_neighbor_list(
     n_yz: int,
     nx_total: int,
@@ -328,28 +356,7 @@ def grid_neighbor_list(
     s = (sx % 2).astype(np.int32)
     ix = (sx // 2).astype(np.int64)
 
-    # static offset classes per source sublattice, ascending linear delta
-    r2 = nn_dist * nn_dist
-    m = int(np.ceil(nn_dist / a)) + 1
-    classes = {0: [], 1: []}
-    for ss in (0, 1):
-        for tt in (0, 1):
-            h = (tt - ss) * 0.5
-            for djx in range(-m, m + 1):
-                for djy in range(-m, m + 1):
-                    for djz in range(-m, m + 1):
-                        if ss == tt and djx == djy == djz == 0:
-                            continue
-                        dx = (djx + h) * a
-                        dy = (djy + h) * a
-                        dz = (djz + h) * a
-                        if dx * dx + dy * dy + dz * dz < r2:
-                            delta = (
-                                (djx * 2 + (tt - ss)) * n_yz + djy
-                            ) * n_yz + djz
-                            classes[ss].append((delta, djx, djy, djz))
-    for ss in (0, 1):
-        classes[ss].sort()
+    classes = _grid_offset_classes(n_yz, a, nn_dist)
     K = max(len(classes[0]), len(classes[1]))
 
     jmat = np.full((n, K), -1, np.int32)
@@ -381,6 +388,108 @@ def grid_neighbor_list(
     out = np.full((n, max_nn), -1, np.int32)
     out[:, : min(K, max_nn)] = packed[:, : min(K, max_nn)]
     return out
+
+
+def grid_dia_k(
+    n_yz: int,
+    nx_total: int,
+    a: float,
+    nn_dist: float,
+    is_metal: np.ndarray,
+    num_atoms_first_layer: int,
+    high_G: float,
+    low_G: float,
+    pos: np.ndarray,
+    null_mask: np.ndarray = None,
+):
+    """Analytic DIA K operator for the grid-native stack — BIT-IDENTICAL
+    to solvers.dia.build_dia_k on the same structure (equality-pinned by
+    tests/test_crossbar.py::test_grid_dia_matches_generic): the int8 codes
+    are integers, the edge values are the two constants {low_G, high_G},
+    and the degree/boundary sums accumulate per offset class in the same
+    ascending-delta order the generic builder's bincount follows (the
+    packed neighbor table is ascending-j). Replaces the (N, KNN) edge-list
+    scan — the 57 s DIA build at the 4.5M-slot crossbar.
+
+    ``null_mask``: NULL placeholder slots (mask_null_slots removes every
+    edge touching one from the index tables; the analytic enumeration must
+    exclude them the same way).
+
+    Open boundaries (pbc=0) like the rest of the grid-native path."""
+    from akmc_tpu.solvers.dia import DiaK, DiaMeta
+    import jax.numpy as jnp
+
+    n = nx_total * 2 * n_yz * n_yz
+    idx = np.arange(n, dtype=np.int64)
+    iz = idx % n_yz
+    iy = (idx // n_yz) % n_yz
+    sx = idx // (n_yz * n_yz)
+    s = (sx % 2).astype(np.int32)
+    ix = (sx // 2).astype(np.int64)
+
+    classes = _grid_offset_classes(n_yz, a, nn_dist)
+    merged = sorted(
+        (delta, ss, djx, djy, djz)
+        for ss in (0, 1)
+        for (delta, djx, djy, djz) in classes[ss]
+    )
+
+    # validity masks (reuse per-axis range tests across classes)
+    def axis_ok(base, dj, hi):
+        key = (id(base), dj, hi)
+        if key not in _ax_cache:
+            _ax_cache[key] = (base + dj >= 0) & (base + dj < hi)
+        return _ax_cache[key]
+
+    _ax_cache = {}
+    ok_i = np.ones(n, bool) if null_mask is None else ~null_mask
+    entries = []          # (delta, v) with at least one valid row
+    for delta, ss, djx, djy, djz in merged:
+        v = (
+            (s == ss)
+            & ok_i
+            & axis_ok(ix, djx, nx_total)
+            & axis_ok(iy, djy, n_yz)
+            & axis_ok(iz, djz, n_yz)
+        )
+        if null_mask is not None:
+            j = np.where(v, idx + delta, 0)
+            v = v & ~null_mask[j]
+        if v.any():
+            entries.append((delta, v))
+
+    uniq = sorted({delta for delta, _ in entries})
+    off_index = {o: d for d, o in enumerate(uniq)}
+    diags = np.zeros((len(uniq), n), np.int8)
+    deg = np.zeros(n)
+    lsum = np.zeros(n)
+    rsum = np.zeros(n)
+    active = np.zeros(n, bool)
+    L = R = num_atoms_first_layer
+    for delta, v in entries:
+        j = np.where(v, idx + delta, 0)
+        mm = v & is_metal & is_metal[j]
+        d = off_index[delta]
+        diags[d][v] += np.int8(1)
+        diags[d][mm] += np.int8(1)
+        val = np.where(mm, high_G, np.where(v, low_G, 0.0))
+        deg += val
+        lsum += np.where(j < L, val, 0.0)
+        rsum += np.where(j >= n - R, val, 0.0)
+        active |= v
+
+    dia = DiaK(
+        diags=jnp.asarray(diags),
+        deg_static=jnp.asarray(deg),
+        lsum=jnp.asarray(lsum),
+        rsum=jnp.asarray(rsum),
+        pos=jnp.asarray(pos),
+        active_row=jnp.asarray(active),
+    )
+    return dia, DiaMeta(
+        offsets=tuple(int(o) for o in uniq),
+        val_low=float(low_G), val_high=float(high_G),
+    )
 
 
 def build_grid_crossbar(
@@ -433,7 +542,8 @@ def build_grid_crossbar(
     nl = grid_neighbor_list(n_yz, nx_total, a, p.nn_dist, p.max_num_neighbors)
     # open boundaries (pbc=0): the K adjacency equals the neighbor list
     lat = build_lattice(
-        e, x, y, z, p, cache_dir=cache_dir, precomputed_lists=(nl, nl)
+        e, x, y, z, p, cache_dir=cache_dir, precomputed_lists=(nl, nl),
+        grid=(n_yz, nx_total, a),
     )
     mask_null_slots(lat)
     return p, lat

@@ -393,10 +393,23 @@ class VCMModel:
         self.banded: Optional[BandedK] = None
         self.band_meta: Optional[BandMeta] = None
         if self.use_dia_k:
-            built = build_dia_k(
-                pos_np, lat.k_neigh_idx, is_metal_np,
-                p.num_atoms_first_layer, p.high_G, p.low_G,
-            )
+            if getattr(lat, "grid", None) is not None and not lat.pbc:
+                # analytic, bit-identical to build_dia_k on grid-native
+                # structures (equality-pinned); skips the (N, KNN)
+                # edge-list scan — 57 s at the 4.5M-slot crossbar
+                from akmc_tpu.models.crossbar import grid_dia_k
+
+                n_yz_g, nx_g, a_g = lat.grid
+                built = grid_dia_k(
+                    n_yz_g, nx_g, a_g, p.nn_dist, is_metal_np,
+                    p.num_atoms_first_layer, p.high_G, p.low_G, pos_np,
+                    null_mask=lat.element0 == int(ELEM.NULL_ELEMENT),
+                )
+            else:
+                built = build_dia_k(
+                    pos_np, lat.k_neigh_idx, is_metal_np,
+                    p.num_atoms_first_layer, p.high_G, p.low_G,
+                )
             if built is not None:
                 self.dia, self.dia_meta = built
         if self.dia is None and self.use_banded_k:

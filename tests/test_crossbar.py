@@ -230,3 +230,54 @@ def test_grid_neighbor_list_matches_cell_list():
     want = native.neighbor_list_cell(pos, nn_dist, max_nn)
     got = grid_neighbor_list(n_yz, 2 * cs + os_ + ts, 2.131255, nn_dist, max_nn)
     np.testing.assert_array_equal(got, want)
+
+
+def test_grid_dia_matches_generic():
+    """The analytic grid DIA operator must be BIT-identical to the generic
+    build_dia_k on the same grid structure: same offsets, same int8 codes,
+    same degree/boundary sums to the last bit (constant edge values +
+    same ascending-delta accumulation order)."""
+    from akmc_tpu.lattice import metal_mask
+    from akmc_tpu.models.crossbar import grid_dia_k, grid_stack
+    from akmc_tpu.solvers.dia import build_dia_k
+    from akmc_tpu.models.crossbar import grid_neighbor_list
+
+    n_yz, cs, os_, ts = 10, 3, 6, 2
+    a = 2.131255
+    e, x, y, z, lattice, patch = grid_stack(
+        n_yz=n_yz, contact_slices=cs, oxide_slices=os_, ti_slices=ts,
+        defect_fraction=0.3, seed=0,
+    )
+    pos = np.stack([x, y, z], 1)
+    nx_total = 2 * cs + os_ + ts
+    is_metal = metal_mask(e, patch["metals"])
+    nl = grid_neighbor_list(n_yz, nx_total, a, 3.5, 52)
+    L = patch["num_atoms_first_layer"]
+    high_G, low_G = 10.0, 1e-7
+
+    # the real usage masks NULL-slot edges first (mask_null_slots) — the
+    # analytic builder must exclude them identically
+    null = e == 9
+    drop = null[:, None] | (null[np.clip(nl, 0, None)] & (nl >= 0))
+    nlm = np.where(drop, -1, nl)
+    order = np.argsort(nlm < 0, axis=1, kind="stable")
+    nlm = np.take_along_axis(nlm, order, axis=1)
+
+    want = build_dia_k(pos, nlm, is_metal, L, high_G, low_G)
+    got = grid_dia_k(
+        n_yz, nx_total, a, 3.5, is_metal, L, high_G, low_G, pos,
+        null_mask=null,
+    )
+    assert want is not None and got is not None
+    dw, mw = want
+    dg, mg = got
+    assert mg.offsets == mw.offsets
+    np.testing.assert_array_equal(np.asarray(dg.diags), np.asarray(dw.diags))
+    np.testing.assert_array_equal(
+        np.asarray(dg.deg_static), np.asarray(dw.deg_static)
+    )
+    np.testing.assert_array_equal(np.asarray(dg.lsum), np.asarray(dw.lsum))
+    np.testing.assert_array_equal(np.asarray(dg.rsum), np.asarray(dw.rsum))
+    np.testing.assert_array_equal(
+        np.asarray(dg.active_row), np.asarray(dw.active_row)
+    )
