@@ -231,6 +231,18 @@ def test_grid_neighbor_list_matches_cell_list():
     got = grid_neighbor_list(n_yz, 2 * cs + os_ + ts, 2.131255, nn_dist, max_nn)
     np.testing.assert_array_equal(got, want)
 
+    # null-aware mode must equal mask_null_slots' filter applied to the
+    # cell-list table (same drops, same left-compaction order)
+    null = e == 9
+    drop = null[:, None] | (null[np.clip(want, 0, None)] & (want >= 0))
+    wm = np.where(drop, -1, want)
+    order = np.argsort(wm < 0, axis=1, kind="stable")
+    wm = np.take_along_axis(wm, order, axis=1)
+    gm = grid_neighbor_list(
+        n_yz, 2 * cs + os_ + ts, 2.131255, nn_dist, max_nn, null_mask=null
+    )
+    np.testing.assert_array_equal(gm, wm)
+
 
 def test_grid_dia_matches_generic():
     """The analytic grid DIA operator must be BIT-identical to the generic

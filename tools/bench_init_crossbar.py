@@ -120,7 +120,7 @@ def run_grid(n_yz: int, solve: bool) -> dict:
     # grid-native structures; exact-equality-tested vs the C++ cell list)
     nl = grid_neighbor_list(
         n_yz, 2 * contact + oxide + ti, 2.131255, p.nn_dist,
-        p.max_num_neighbors,
+        p.max_num_neighbors, null_mask=e == 9,
     )
     lat = build_lattice(
         e, x, y, z, p, cache_dir=None, precomputed_lists=(nl, nl)
