@@ -460,22 +460,25 @@ def grid_dia_k(
     )
 
     # validity masks (reuse per-axis range tests across classes)
-    def axis_ok(base, dj, hi):
-        key = (id(base), dj, hi)
+    _ax_cache = {}
+    _ax_base = {"x": (ix, nx_total), "y": (iy, n_yz), "z": (iz, n_yz)}
+
+    def axis_ok(axis, dj):
+        key = (axis, dj)
         if key not in _ax_cache:
+            base, hi = _ax_base[axis]
             _ax_cache[key] = (base + dj >= 0) & (base + dj < hi)
         return _ax_cache[key]
 
-    _ax_cache = {}
     ok_i = np.ones(n, bool) if null_mask is None else ~null_mask
     entries = []          # (delta, v) with at least one valid row
     for delta, ss, djx, djy, djz in merged:
         v = (
             (s == ss)
             & ok_i
-            & axis_ok(ix, djx, nx_total)
-            & axis_ok(iy, djy, n_yz)
-            & axis_ok(iz, djz, n_yz)
+            & axis_ok("x", djx)
+            & axis_ok("y", djy)
+            & axis_ok("z", djz)
         )
         if null_mask is not None:
             j = np.where(v, idx + delta, 0)
