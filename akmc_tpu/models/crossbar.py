@@ -349,7 +349,10 @@ def grid_neighbor_list(
     Produces the identical (n, max_nn) table (same neighbors, same
     ascending-index order, -1 padded) as the native C++ cell-list builder
     at ~20x less host time at the 2.37M-site scale (the cell list was the
-    234 s init bottleneck, BENCH_init_r03). Equality is pinned by
+    234 s init bottleneck, BENCH_init_r03). Reference analogue: the
+    nearest-neighbor scans in neighbor_lists_gpu.cu:24-93 — part of the
+    ~20 min/node crossbar initialization (README.md:11) this path
+    replaces for grid-native structures. Equality is pinned by
     tests/test_crossbar.py::test_grid_neighbor_list_matches_cell_list.
 
     Open boundaries (the crossbar decks run pbc=0)."""
@@ -434,7 +437,9 @@ def grid_dia_k(
     and the degree/boundary sums accumulate per offset class in the same
     ascending-delta order the generic builder's bincount follows (the
     packed neighbor table is ascending-j). Replaces the (N, KNN) edge-list
-    scan — the 57 s DIA build at the 4.5M-slot crossbar.
+    scan — the 57 s DIA build at the 4.5M-slot crossbar (reference
+    analogue: initialize_sparsity_K's per-rank nnz counting + CSR
+    assembly, iterative_solvers_gpu.cu:262-488).
 
     ``null_mask``: NULL placeholder slots (mask_null_slots removes every
     edge touching one from the index tables; the analytic enumeration must
