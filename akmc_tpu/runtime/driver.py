@@ -99,6 +99,7 @@ def run(
     batched_events: int = 0,
     batched_mass_eps: float = 1e-3,
     pair_f32: bool = False,
+    warmup: bool = False,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
 
@@ -165,6 +166,28 @@ def run(
     state = make_device_state(lat, p.background_temp)
     kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
     batch_key = jax.random.PRNGKey(p.rnd_seed_kmc) if batched_events else None
+
+    if warmup and p.V_switch and p.perturb_structure and p.solve_potential:
+        # AOT-compile the run's executables before the first superstep
+        # (jit.lower().compile() + the persistent cache): a NEW scale
+        # otherwise pays its 3-16 min remote compile INSIDE superstep 0
+        # (BENCH_crossbar_full40nm_r02 measured 822.7 s there; with
+        # warmup + cache the r03 first superstep is 24.9 s)
+        t0 = time.perf_counter()
+        compile_s = model.warmup(
+            state, float(p.V_switch[0]),
+            steps_per_dispatch=(
+                steps_per_dispatch if steps_per_dispatch > 1 else None
+            ),
+            full_physics=p.solve_current and not committed_parity,
+            batched=batched_events,
+            batched_mass_eps=batched_mass_eps,
+        )
+        out.write(
+            f"AOT warmup: {time.perf_counter() - t0:.1f} s ("
+            + ", ".join(f"{k} {v:.0f}s" for k, v in compile_s.items())
+            + ")\n"
+        )
 
     groups = None
     if concern_split is not None:
@@ -461,6 +484,11 @@ def main():
              "measured scan in PERF_NOTES round 3)",
     )
     ap.add_argument(
+        "--warmup", action="store_true",
+        help="AOT-compile all run executables before the first superstep "
+             "(new-scale cold-start bound; persistent-cached afterwards)",
+    )
+    ap.add_argument(
         "--pair-f32", action="store_true",
         help="evaluate the tiled-pairwise kernel plane in f32 (production "
              "crossbar option; bounded ~1e-6 relative potential error — "
@@ -494,6 +522,7 @@ def main():
         batched_events=args.batched_events,
         batched_mass_eps=args.mass_eps,
         pair_f32=args.pair_f32,
+        warmup=args.warmup,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 

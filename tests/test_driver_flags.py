@@ -237,3 +237,30 @@ def test_batched_events_driver(tmp_path, monkeypatch):
     times = [float(m) for m in re.findall(r"KMC time is: ([\d.eE+-]+)", out)]
     assert times and all(t > 0 for t in times)
     assert "kmc events" in out
+
+
+def test_warmup_flag(tmp_path, monkeypatch):
+    """--warmup: the driver AOT-compiles the run's executables before the
+    first superstep and logs the compile summary; the trajectory must be
+    unchanged (warmup only compiles, it executes nothing)."""
+    from akmc_tpu.runtime import driver
+
+    deck, p = _write_toy_deck(tmp_path)
+    _patch_layers(monkeypatch, p)
+    s1 = driver.run(
+        str(deck), workdir=str(tmp_path / "w"), max_supersteps=2, log=False,
+        warmup=True,
+    )
+    s2 = driver.run(
+        str(deck), workdir=str(tmp_path / "n"), max_supersteps=2, log=False,
+    )
+    out = open(tmp_path / "w" / "output1_0.txt").read()
+    assert "AOT warmup:" in out
+    assert "AOT warmup:" not in open(tmp_path / "n" / "output1_0.txt").read()
+    assert s1["total_steps"] == s2["total_steps"]
+    w1 = [l for l in out.splitlines() if l.startswith("KMC time is:")]
+    w2 = [
+        l for l in open(tmp_path / "n" / "output1_0.txt").read().splitlines()
+        if l.startswith("KMC time is:")
+    ]
+    assert w1 == w2
