@@ -168,6 +168,10 @@ class VCMModel:
                                     # to 1 ulp — the two variants compile
                                     # to different XLA reduction trees.
                                     # Ablation flag — PERF_NOTES round 3)
+    dia_stacked: bool = False       # DIA CG matvec as stacked (D, N)
+                                    # planes: ~5x fewer HLO ops/iteration,
+                                    # last-ulp reassociation (production
+                                    # flag — solvers/dia.py)
     pair_f32: bool = False          # tiled-pairwise plane in f32
                                     # (production crossbar option; the
                                     # f64 path is the default and the
@@ -464,6 +468,7 @@ class VCMModel:
                 kop, self.dia_meta, element, charge, pb_prev, Vd,
                 p.high_G, p.low_G, p.num_atoms_first_layer, p.nn_dist,
                 jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), self.vmax,
+                stacked=self.dia_stacked,
             )
         if isinstance(kop, BandedK):
             return solve_potential_boundary_banded(

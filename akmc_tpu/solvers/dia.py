@@ -178,6 +178,34 @@ def dia_combined_matvec(
     return y, yv
 
 
+def dia_combined_matvec_stacked(
+    dia: DiaK, meta: DiaMeta, x: jnp.ndarray, xv: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """dia_combined_matvec with the per-diagonal loop collapsed to a few
+    large ops: stack the D shifted x/xv windows into (D, N) planes, decode
+    + multiply + axis-0 reduce once. ~5x fewer HLO ops per CG iteration
+    (the per-diagonal chain is ~6 ops x D; the measured 0.13 s/iteration
+    at the 4.62M-slot crossbar sits 20-40x above the byte bound — per-op
+    overhead, PERF_NOTES round 3). The axis-0 reduction reassociates the
+    per-row sum, so results differ from the loop form in the last ulps —
+    production (DIA) path only, flag-gated off by default."""
+    n = x.shape[0]
+    maxo = max(abs(o) for o in meta.offsets)
+    xp = jnp.zeros(n + 2 * maxo, x.dtype).at[maxo : maxo + n].set(x)
+    vp = jnp.zeros(n + 2 * maxo, xv.dtype).at[maxo : maxo + n].set(xv)
+    xs = jnp.stack(
+        [jax.lax.dynamic_slice(xp, (maxo + o,), (n,)) for o in meta.offsets]
+    )
+    vs = jnp.stack(
+        [jax.lax.dynamic_slice(vp, (maxo + o,), (n,)) for o in meta.offsets]
+    )
+    c = dia.diags
+    bf = jnp.where(c == 2, meta.val_high, jnp.where(c == 1, meta.val_low, 0.0))
+    y = jnp.sum(bf * xs, axis=0)
+    yv = jnp.sum(jnp.where(c != 0, vs, 0.0), axis=0)
+    return y, yv
+
+
 def dia_adj_matvec(dia: DiaK, meta: DiaMeta, x: jnp.ndarray) -> jnp.ndarray:
     """y_i = sum over K-adjacency edges (i, i+o_d) of x[i+o_d] — the same
     shift pass as dia_matvec with 0/1 edge weights (select, no multiply)."""
@@ -208,6 +236,7 @@ def solve_potential_boundary_dia(
     vmax: int = 0,                # signature parity with the banded solver
     rtol_coeff: float = 1e-14,
     max_iterations: int = 10000,
+    stacked: bool = False,
 ) -> Tuple[jnp.ndarray, CGResult]:
     """Drop-in replacement for solve_potential_boundary(_banded) on DIA
     structures. Same matrix entries / rhs / CG stopping rule."""
@@ -232,10 +261,12 @@ def solve_potential_boundary_dia(
 
     rhs = (dia.lsum * (-Vd / 2.0) + dia.rsum * (Vd / 2.0)) * is_int
 
+    mv_fn = dia_combined_matvec_stacked if stacked else dia_combined_matvec
+
     def A(x):
         xz = jnp.where(is_int, x, 0.0)
         xv = jnp.where(cvac, xz, 0.0)
-        mv, corr = dia_combined_matvec(dia, meta, xz, xv)
+        mv, corr = mv_fn(dia, meta, xz, xv)
         y = diag * xz - mv - dG * jnp.where(cvac, corr, 0.0)
         return jnp.where(is_int, y, x)
 

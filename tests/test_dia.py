@@ -98,3 +98,51 @@ def test_dia_superstep_matches_ell(grid):
     # null slots never mutate
     null0 = lat.element0 == int(ELEM.NULL_ELEMENT)
     assert (np.asarray(s_d.element)[null0] == int(ELEM.NULL_ELEMENT)).all()
+
+
+def test_stacked_matvec_matches_loop(grid):
+    """dia_combined_matvec_stacked must agree with the per-diagonal loop
+    form to reassociation tolerance (same entries, axis-0 reduce order),
+    and the stacked CG solve must land on the same solution."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.solvers.dia import (
+        build_dia_k, dia_combined_matvec, dia_combined_matvec_stacked,
+    )
+    from akmc_tpu.lattice import metal_mask
+
+    p, lat = grid
+    pos = np.stack([lat.x, lat.y, lat.z], 1)
+    is_metal = metal_mask(lat.element0, p.metals)
+    built = build_dia_k(
+        pos, lat.k_neigh_idx, is_metal, p.num_atoms_first_layer,
+        p.high_G, p.low_G,
+    )
+    assert built is not None
+    dia, meta = built
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(lat.N))
+    xv = jnp.asarray(rng.standard_normal(lat.N))
+    y1, v1 = dia_combined_matvec(dia, meta, x, xv)
+    y2, v2 = dia_combined_matvec_stacked(dia, meta, x, xv)
+    scale = float(np.abs(np.asarray(y1)).max())
+    np.testing.assert_allclose(
+        np.asarray(y2), np.asarray(y1), rtol=1e-12, atol=1e-12 * scale
+    )
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-12, atol=1e-14)
+
+    # full solve equivalence (same matrix, same rhs; fp association only)
+    from akmc_tpu.models.vcm import VCMModel
+    from akmc_tpu.state import make_device_state
+
+    m1 = VCMModel(p, lat)
+    m2 = VCMModel(p, lat, dia_stacked=True)
+    assert m1.dia is not None and m2.dia is not None
+    state = make_device_state(lat, p.background_temp)
+    f1 = m1._run_fields(state, 2.0)
+    f2 = m2._run_fields(state, 2.0)
+    pb1 = np.asarray(f1.potential_boundary)
+    pb2 = np.asarray(f2.potential_boundary)
+    np.testing.assert_allclose(
+        pb2, pb1, rtol=1e-8, atol=1e-9 * max(1.0, np.abs(pb1).max())
+    )
