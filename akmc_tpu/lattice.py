@@ -369,7 +369,11 @@ def build_lattice(
     pos = np.stack([x, y, z], axis=1)
 
     cache_path = None
-    if cache_dir:
+    if cache_dir and precomputed_lists is None:
+        # with precomputed (analytic) lists the disk cache LOSES:
+        # decompressing the ~GB-scale npz at crossbar scale takes longer
+        # than regenerating the tables (~30 s analytic vs minutes of
+        # np.load on this host)
         import hashlib
 
         h = hashlib.sha1()
@@ -391,14 +395,6 @@ def build_lattice(
             cutoff_idx, _ = build_cutoff_list(pos, element, params.cutoff_radius)
         else:
             cutoff_idx = np.zeros((len(x), 0), np.int32)
-        if cache_path:
-            os.makedirs(cache_dir, exist_ok=True)
-            np.savez_compressed(
-                cache_path,
-                neigh_idx=neigh_idx,
-                k_neigh_idx=k_neigh_idx,
-                cutoff_idx=cutoff_idx,
-            )
     else:
         # builder priority: native C++ cell lists > device (TPU) top_k scan
         # > numpy reference scan — all three produce identical tables
