@@ -72,12 +72,6 @@ class StaticTables(NamedTuple):
     pos: jax.Array
     neigh_idx: jax.Array
     k_neigh_idx: jax.Array
-    # full-N cutoff/self2/layer tables: always None at runtime (dead —
-    # the event engine consumes the act-compacted forms below); the fields
-    # remain for pytree-shape stability of existing jit signatures
-    cutoff_idx: Optional[jax.Array]
-    self2_nn: Optional[jax.Array]
-    layer_nbr: Optional[jax.Array]
     any_metal_nbr: jax.Array
     metal_edge: jax.Array
     metal_or_edge: jax.Array
@@ -303,14 +297,6 @@ class VCMModel:
             pos=jnp.asarray(pos_np, f64),
             neigh_idx=jnp.asarray(lat.neigh_idx, jnp.int32),
             k_neigh_idx=jnp.asarray(lat.k_neigh_idx, jnp.int32),
-            # full-N cutoff/self2/layer tables are DEAD at runtime (the
-            # event engine reads only the act-compacted forms): never
-            # computed or device-put — at 5 nm cutoff_idx alone was a
-            # ~570 MB tunnel transfer, at the crossbar self2 was 85 s of
-            # host broadcast (AKMC_INIT_TIMING r03)
-            cutoff_idx=None,
-            self2_nn=None,
-            layer_nbr=None,
             any_metal_nbr=jnp.asarray(
                 (is_metal_np[jc] & (lat.neigh_idx >= 0)).any(axis=1)
             ),

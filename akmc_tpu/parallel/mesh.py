@@ -47,9 +47,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
 _ROW_SHARDED = (
     "neigh_idx",
     "k_neigh_idx",
-    "cutoff_idx",
-    "self2_nn",
-    "layer_nbr",
     "metal_edge",
     "metal_or_edge",
     # compacted event tables: NA rows (padded to a multiple of 256, so any

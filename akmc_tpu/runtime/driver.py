@@ -99,6 +99,7 @@ def run(
     batched_events: int = 0,
     batched_mass_eps: float = 1e-3,
     pair_f32: bool = False,
+    dia_stacked: bool = False,
     warmup: bool = False,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
@@ -162,7 +163,10 @@ def run(
         # The parity default (False) is kept for low-bias decks like the
         # golden 5 nm (Vd=5).
         rate_normalize = bool(p.V_switch) and max(abs(v) for v in p.V_switch) >= 8.0
-    model = VCMModel(p, lat, rate_normalize=rate_normalize, pair_f32=pair_f32)
+    model = VCMModel(
+        p, lat, rate_normalize=rate_normalize, pair_f32=pair_f32,
+        dia_stacked=dia_stacked,
+    )
     state = make_device_state(lat, p.background_temp)
     kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
     batch_key = jax.random.PRNGKey(p.rnd_seed_kmc) if batched_events else None
@@ -496,6 +500,12 @@ def main():
              "and the parity/oracle path.",
     )
     ap.add_argument(
+        "--dia-stacked", action="store_true",
+        help="DIA K matvec as one stacked (D, N) decode/multiply/reduce "
+             "instead of the per-diagonal op loop (bit-identical result — "
+             "tests/test_dia.py; grid-native crossbar structures only)",
+    )
+    ap.add_argument(
         "--concern-split", default=None, metavar="K:P",
         help="task-split the K and pairwise solves over disjoint device "
              "groups in ratio K:P (reference split=true, KMC_comm.h:132-223; "
@@ -522,6 +532,7 @@ def main():
         batched_events=args.batched_events,
         batched_mass_eps=args.mass_eps,
         pair_f32=args.pair_f32,
+        dia_stacked=args.dia_stacked,
         warmup=args.warmup,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
