@@ -166,11 +166,25 @@ class VCMModel:
                                     # planes: ~5x fewer HLO ops/iteration,
                                     # last-ulp reassociation (production
                                     # flag — solvers/dia.py)
+    dia_pallas: bool = False        # DIA CG matvec as ONE Pallas kernel
+                                    # (two-f32 exact-sum chains, offset
+                                    # clustering — ops/pallas_dia.py).
+                                    # Production flag; precedence over
+                                    # dia_stacked. ~dd-f64 accuracy class
+                                    # (tests/test_pallas_dia.py)
     pair_f32: bool = False          # tiled-pairwise plane in f32
                                     # (production crossbar option; the
                                     # f64 path is the default and the
                                     # oracle — ops/pairwise.py docstring
                                     # for the error model)
+    wkb_f32: bool = False           # evaluate the W_tt/W_ct/W_cc WKB
+                                    # transmission planes in f32 (native
+                                    # VPU exp instead of the emulated
+                                    # dd-f64 chain — the dominant
+                                    # full-physics build cost; ~1e-7
+                                    # relative coefficient error, Kahan-
+                                    # compensated integral; f64 stays the
+                                    # default and the oracle path)
     k_carry_residual: bool = False  # batched path: rebase the warm K
                                     # solve's initial residual from the
                                     # previous superstep's final residual
@@ -402,6 +416,21 @@ class VCMModel:
                 )
             if built is not None:
                 self.dia, self.dia_meta = built
+        self.dia_plan = None
+        if self.dia is not None and self.dia_pallas:
+            from akmc_tpu.ops.pallas_dia import plan_dia_pallas
+
+            self.dia_plan = plan_dia_pallas(
+                self.dia_meta.offsets, int(self.dia.diags.shape[1]),
+                interpret=jax.default_backend() == "cpu",
+            )
+            if self.dia_plan is None:
+                import warnings
+
+                warnings.warn(
+                    "dia_pallas: offset geometry unsuitable (too many "
+                    "groups) — falling back to the XLA matvec"
+                )
         if self.dia is None and self.use_banded_k:
             built = build_banded_k(
                 pos_np, lat.k_neigh_idx, is_metal_np, lat.element0,
@@ -455,6 +484,7 @@ class VCMModel:
                 p.high_G, p.low_G, p.num_atoms_first_layer, p.nn_dist,
                 jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), self.vmax,
                 stacked=self.dia_stacked,
+                pallas_plan=self.dia_plan,
             )
         if isinstance(kop, BandedK):
             return solve_potential_boundary_banded(
@@ -1223,10 +1253,21 @@ class VCMModel:
         if self._current_tables is None:
             p, lat = self.params, self.lat
             pos = np.stack([lat.x, lat.y, lat.z], axis=1)
+            # rail-tie counts are ATOM counts (create_X indexes the atom
+            # array, current_solver_gpu.cu:2296-2306). On reference
+            # structures the first/last layer contains only metal atoms, so
+            # the slot count equals the atom count; grid-native crossbar
+            # slices interleave NULL placeholder slots — count the physical
+            # atoms in the first/last slot slice instead.
+            L = p.num_atoms_first_layer
+            not_atom = (int(ELEM.DEFECT), int(ELEM.OXYGEN_DEFECT),
+                        int(ELEM.NULL_ELEMENT))
+            n_inj = int((~np.isin(lat.element0[:L], not_atom)).sum())
+            n_ext = int((~np.isin(lat.element0[-L:], not_atom)).sum())
             self._current_tables = build_current_tables(
                 lat.element0, pos, np.asarray(p.lattice), bool(p.pbc),
-                p.nn_dist, p.metals, p.num_atoms_first_layer,
-                p.num_atoms_first_layer, p.num_layers_contact,
+                p.nn_dist, p.metals, n_inj,
+                n_ext, p.num_layers_contact,
                 max_num_neighbors=p.max_num_neighbors,
             )
         return self._current_tables
@@ -1272,7 +1313,7 @@ class VCMModel:
             ct, atom_elem, atom_charge, atom_cb,
             jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), p.nn_dist,
             high_G, p.low_G, loop_G, tol, p.m_e, p.V0,
-            vmax=self.vmax, ne_max=self.ne_max,
+            vmax=self.vmax, ne_max=self.ne_max, wkb_f32=self.wkb_f32,
         )
         ps = self._shard_power_system(ps)
         I_macro, atom_power, m, iters = solve_power(

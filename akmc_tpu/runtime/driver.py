@@ -100,6 +100,8 @@ def run(
     batched_mass_eps: float = 1e-3,
     pair_f32: bool = False,
     dia_stacked: bool = False,
+    dia_pallas: bool = False,
+    wkb_f32: bool = False,
     warmup: bool = False,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
@@ -165,7 +167,7 @@ def run(
         rate_normalize = bool(p.V_switch) and max(abs(v) for v in p.V_switch) >= 8.0
     model = VCMModel(
         p, lat, rate_normalize=rate_normalize, pair_f32=pair_f32,
-        dia_stacked=dia_stacked,
+        dia_stacked=dia_stacked, dia_pallas=dia_pallas, wkb_f32=wkb_f32,
     )
     state = make_device_state(lat, p.background_temp)
     kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
@@ -506,6 +508,19 @@ def main():
              "tests/test_dia.py; grid-native crossbar structures only)",
     )
     ap.add_argument(
+        "--dia-pallas", action="store_true",
+        help="DIA K matvec as one fused Pallas kernel (two-f32 exact-sum "
+             "chains, offset clustering — ops/pallas_dia.py; dd-f64 "
+             "accuracy class; production flag, grid-native structures)",
+    )
+    ap.add_argument(
+        "--wkb-f32", action="store_true",
+        help="full-physics production lever: evaluate the WKB transmission "
+             "planes (W_tt/W_ct/W_cc) in f32 — native VPU exp instead of "
+             "the emulated dd-f64 chain (~1e-7 relative coefficient error; "
+             "f64 stays the default/oracle path)",
+    )
+    ap.add_argument(
         "--concern-split", default=None, metavar="K:P",
         help="task-split the K and pairwise solves over disjoint device "
              "groups in ratio K:P (reference split=true, KMC_comm.h:132-223; "
@@ -533,6 +548,8 @@ def main():
         batched_mass_eps=args.mass_eps,
         pair_f32=args.pair_f32,
         dia_stacked=args.dia_stacked,
+        dia_pallas=args.dia_pallas,
+        wkb_f32=args.wkb_f32,
         warmup=args.warmup,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")

@@ -82,7 +82,15 @@ def build_current_tables(
     from akmc_tpu.lattice import metal_mask
     from akmc_tpu.lattice_jax import build_neighbor_list_device
 
-    is_atom = (element0 != int(ELEM.DEFECT)) & (element0 != int(ELEM.OXYGEN_DEFECT))
+    # NULL placeholder slots (grid-native crossbar enumeration,
+    # models/crossbar.py::grid_stack) are not atoms: they carry no physics
+    # and must not contribute neighbor conductances. Reference structures
+    # have no NULL slots, so this is a no-op there.
+    is_atom = (
+        (element0 != int(ELEM.DEFECT))
+        & (element0 != int(ELEM.OXYGEN_DEFECT))
+        & (element0 != int(ELEM.NULL_ELEMENT))
+    )
     atom_ind = np.nonzero(is_atom)[0].astype(np.int32)
     n_atom = len(atom_ind)
     apos = pos[atom_ind]
@@ -123,18 +131,45 @@ def build_current_tables(
 # WKB tunneling coefficients
 # ---------------------------------------------------------------------------
 
-def _wkb_single(dist_m, dE_abs, m_e, V0):
+def _wkb_single(dist_m, dE_abs, m_e, V0, f32: bool = False):
     """Single-barrier transmission (trap/trap & contact/contact),
-    create_X else-branch (current_solver_gpu.cu:2258-2272)."""
-    prefac = -(jnp.sqrt(2.0 * m_e) / H_BAR) * (2.0 / 3.0)
-    E1 = EV_TO_J * V0
+    create_X else-branch (current_solver_gpu.cu:2258-2272).
+
+    ``f32``: evaluate the plane in f32 (production lever, wkb_f32 flag).
+    The emulated dd-f64 exp is the dominant per-pair cost and already has
+    the f32 EXPONENT range on this runtime (underflow at ~1e-38 either
+    way); f32 costs ~1e-7 relative coefficient error — far below the WKB
+    model's own accuracy and the power-CG tolerance's demands."""
+    prefac = -(np.sqrt(2.0 * m_e) / H_BAR) * (2.0 / 3.0)
+    if f32:
+        dist_m = dist_m.astype(jnp.float32)
+        dE_abs = dE_abs.astype(jnp.float32)
+        prefac = np.float32(prefac)   # keep the plane f32 (numpy f64
+        #                               scalars re-promote jnp f32 to f64)
+    E1 = dist_m.dtype.type(EV_TO_J * V0)
     E2 = E1 - dE_abs
-    expo_trap = prefac * (dist_m / dE_abs) * (E1**1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5)
+    if f32:
+        # cancellation-free form of (E1^1.5 - E2^1.5)/dE:
+        # a^1.5 - b^1.5 = (a - b)(a + sqrt(ab) + b)/(sqrt(a) + sqrt(b)),
+        # a - b = dE exactly — the division cancels and no near-equal
+        # subtraction remains (plain f32 lost ~2 digits at small dE)
+        E2p = jnp.maximum(E2, 0.0)
+        expo_trap = prefac * dist_m * (
+            (E1 + jnp.sqrt(E1 * E2p) + E2p) / (jnp.sqrt(E1) + jnp.sqrt(E2p))
+        )
+    else:
+        expo_trap = prefac * (dist_m / dE_abs) * (
+            E1**1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5
+        )
     expo_tri = prefac * (dist_m / dE_abs) * E1**1.5
+    # f32 results stay f32: the W blocks are also STORED in f32 under the
+    # lever (halves HBM traffic and skips the X64-rewrite's extra in-program
+    # f64 half-copies — W_tt at 15k vacancies: ~5.3 GB -> ~0.9 GB);
+    # downstream matvecs promote to f64 on multiply with the f64 vectors
     return jnp.where(E2 > 0, jnp.exp(expo_trap), jnp.exp(expo_tri))
 
 
-def _wkb_contact_trap(dist_m, dE_abs, m_e, V0, ne_max, mask=None):
+def _wkb_contact_trap(dist_m, dE_abs, m_e, V0, ne_max, mask=None, f32: bool = False):
     """Energy-integrated transmission for contact<->trap pairs
     (create_X contact_to_trap branch, current_solver_gpu.cu:2229-2256).
 
@@ -151,26 +186,53 @@ def _wkb_contact_trap(dist_m, dE_abs, m_e, V0, ne_max, mask=None):
     ``mask`` (optional, bool, broadcastable): pairs whose integral is
     never read — skipped via a masked exponent to keep exp() in range.
     """
-    prefac = -(jnp.sqrt(2.0 * m_e) / H_BAR) * (2.0 / 3.0)
+    prefac = -(np.sqrt(2.0 * m_e) / H_BAR) * (2.0 / 3.0)
     dE_step = EV_TO_J * 0.01
     if mask is not None:
         dE_abs = jnp.where(mask, dE_abs, 1.0)
         dist_m = jnp.where(mask, dist_m, 1.0)
+    if f32:
+        prefac = np.float32(prefac)   # see _wkb_single: avoid re-promotion
+        # production lever (wkb_f32): the integral plane is the dominant
+        # full-physics build cost (ne_max exp-planes per superstep); f32
+        # native exp replaces the emulated dd-f64 chain. Kahan-compensated
+        # accumulation keeps the sum's error ~2^-24 despite up to ~1.5k
+        # terms; the f32 exponent range equals this runtime's dd-f64 range.
+        dist_m = dist_m.astype(jnp.float32)
+        dE_abs = dE_abs.astype(jnp.float32)
 
-    def body(s, acc):
+    def body(s, carry):
+        acc, comp = carry
         iv = s * dE_step
         active = iv < dE_abs
-        E1 = EV_TO_J * V0 + iv
+        E1 = (EV_TO_J * V0 + iv).astype(dist_m.dtype)
         E2 = E1 - dE_abs
-        expo_trap = prefac * (dist_m / dE_abs) * (
-            E1**1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5
-        )
+        if f32:
+            # cancellation-free (see _wkb_single): dE divides out exactly
+            E2p = jnp.maximum(E2, 0.0)
+            expo_trap = prefac * dist_m * (
+                (E1 + jnp.sqrt(E1 * E2p) + E2p)
+                / (jnp.sqrt(E1) + jnp.sqrt(E2p))
+            )
+        else:
+            expo_trap = prefac * (dist_m / dE_abs) * (
+                E1**1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5
+            )
         expo_tri = prefac * (dist_m / dE_abs) * E1**1.5
         term = jnp.where(E2 > 0, jnp.exp(expo_trap), jnp.exp(expo_tri))
-        return acc + jnp.where(active, term, 0.0)
+        term = jnp.where(active, term, 0.0)
+        if not f32:
+            return acc + term, comp
+        # Kahan: comp carries the low-order residue
+        y = term - comp
+        t = acc + y
+        comp = (t - acc) - y
+        return t, comp
 
-    out = jax.lax.fori_loop(0, ne_max, body, jnp.zeros_like(dist_m))
-    return out if mask is None else jnp.where(mask, out, 0.0)
+    zero = jnp.zeros_like(dist_m)
+    out, _ = jax.lax.fori_loop(0, ne_max, body, (zero, zero))
+    # f32 stays f32 (stored block dtype under the lever — see _wkb_single)
+    return out if mask is None else jnp.where(mask, out, zero)
 
 
 def _ct_loop_bound(dE_abs, ok, ne_max: int):
@@ -229,6 +291,7 @@ def build_power_system(
     V0: float,
     vmax: int,
     ne_max: int,
+    wkb_f32: bool = False,
 ) -> PowerSystem:
     n_atom = atom_element.shape[0]
     nbr = ct.atom_neigh_idx
@@ -269,10 +332,10 @@ def build_power_system(
         if integrate:
             T = _wkb_contact_trap(
                 dist_m, dE_safe, m_e, V0,
-                _ct_loop_bound(dE, ok, ne_max), mask=ok,
+                _ct_loop_bound(dE, ok, ne_max), mask=ok, f32=wkb_f32,
             )
         else:
-            T = _wkb_single(dist_m, dE_safe, m_e, V0)
+            T = _wkb_single(dist_m, dE_safe, m_e, V0, f32=wkb_f32)
         return jnp.where(ok, T, 0.0)
 
     ones_c = jnp.ones(cidx.shape[0], bool)
@@ -283,9 +346,20 @@ def build_power_system(
     # diagonal: all row sums positive (write_to_diag, iterative_solvers_gpu.cu:39-47)
     diag = jnp.sum(G_nbr, axis=1)
     diag = diag + high_G * ct.inj_tie + high_G * ct.ext_tie
-    # tunnel row sums scattered back to atoms
-    diag = diag.at[vi].add(jnp.where(vv, jnp.sum(W_tt, axis=1) + jnp.sum(W_ct, axis=0), 0.0))
-    diag = diag.at[cidx].add(jnp.sum(W_cc, axis=1) + jnp.sum(W_ct, axis=1))
+    # tunnel row sums scattered back to atoms; dtype=f64 keeps the
+    # accumulation in f64 when the blocks are stored f32 (wkb_f32)
+    diag = diag.at[vi].add(
+        jnp.where(
+            vv,
+            jnp.sum(W_tt, axis=1, dtype=jnp.float64)
+            + jnp.sum(W_ct, axis=0, dtype=jnp.float64),
+            0.0,
+        )
+    )
+    diag = diag.at[cidx].add(
+        jnp.sum(W_cc, axis=1, dtype=jnp.float64)
+        + jnp.sum(W_ct, axis=1, dtype=jnp.float64)
+    )
 
     diag0 = loop_G + high_G * ct.n_ext
     diag1 = loop_G + high_G * ct.n_inj

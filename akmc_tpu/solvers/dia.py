@@ -237,6 +237,10 @@ def solve_potential_boundary_dia(
     rtol_coeff: float = 1e-14,
     max_iterations: int = 10000,
     stacked: bool = False,
+    pallas_plan=None,       # ops.pallas_dia.DiaPlan: fuse the whole offset
+    #                         loop into ONE Pallas kernel (two-f32 exact-sum
+    #                         chains; ~same accuracy class as the runtime's
+    #                         dd-f64). Takes precedence over `stacked`.
 ) -> Tuple[jnp.ndarray, CGResult]:
     """Drop-in replacement for solve_potential_boundary(_banded) on DIA
     structures. Same matrix entries / rhs / CG stopping rule."""
@@ -261,7 +265,15 @@ def solve_potential_boundary_dia(
 
     rhs = (dia.lsum * (-Vd / 2.0) + dia.rsum * (Vd / 2.0)) * is_int
 
-    mv_fn = dia_combined_matvec_stacked if stacked else dia_combined_matvec
+    if pallas_plan is not None:
+        from akmc_tpu.ops.pallas_dia import dia_combined_matvec_pallas
+
+        def mv_fn(dia_, meta_, x_, xv_):
+            return dia_combined_matvec_pallas(dia_, meta_, pallas_plan, x_, xv_)
+    elif stacked:
+        mv_fn = dia_combined_matvec_stacked
+    else:
+        mv_fn = dia_combined_matvec
 
     def A(x):
         xz = jnp.where(is_int, x, 0.0)

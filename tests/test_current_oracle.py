@@ -351,3 +351,53 @@ def test_cg_tolerance_scaling_at_2k_atoms(setup_big):
     # the production default is 1e-16 (solve_power docstring)
     assert errs[1e-14] < 1e-3, errs
     assert errs[1e-16] < 1e-6, errs
+
+
+def test_wkb_f32_plane_matches_f64(setup):
+    """wkb_f32 production lever: the f32-evaluated W planes agree with the
+    f64 oracle path to f32 precision class (~1e-6 relative; Kahan keeps the
+    contact-trap integral's accumulation error at ~2^-24 despite its term
+    count), and the solved I_macro moves by far less than the solver's own
+    tolerance headroom."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.solvers.current import build_power_system, solve_power
+
+    p, lat, ct, atom_elem, atom_charge, cb = setup
+    high_G = p.high_G * 100000
+    low_G = p.low_G
+    loop_G = p.high_G * 10000000
+    tol = p.q * 0.01
+    n_atom = len(atom_elem)
+
+    def build(f32):
+        return build_power_system(
+            ct, jnp.asarray(atom_elem), jnp.asarray(atom_charge), jnp.asarray(cb),
+            jnp.asarray(np.asarray(p.lattice)), False, p.nn_dist,
+            high_G, low_G, loop_G, tol, p.m_e, p.V0, vmax=64, ne_max=512,
+            wkb_f32=f32,
+        )
+
+    ps64 = build(False)
+    ps32 = build(True)
+    for name in ("W_tt", "W_ct", "W_cc"):
+        a = np.asarray(getattr(ps64, name))
+        b = np.asarray(getattr(ps32, name))
+        scale = np.abs(a).max()
+        if scale == 0.0:
+            assert np.abs(b).max() == 0.0
+            continue
+        # elementwise: f32 rounding of the exponent amplifies into the
+        # value (exp), so compare relative to each entry with a floor
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=scale * 1e-7)
+
+    G0 = 2 * 3.8612e-5 * 1e-5
+    I64, _, _, _ = solve_power(
+        ct, ps64, 4.0, high_G, loop_G, G0, 1.0,
+        jnp.zeros(n_atom + 2), jnp.asarray(atom_elem),
+    )
+    I32, _, _, _ = solve_power(
+        ct, ps32, 4.0, high_G, loop_G, G0, 1.0,
+        jnp.zeros(n_atom + 2), jnp.asarray(atom_elem),
+    )
+    np.testing.assert_allclose(float(I32), float(I64), rtol=1e-4)

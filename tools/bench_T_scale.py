@@ -1,0 +1,198 @@
+"""Full-physics (transmission/T-system) benchmark at the reference's
+distributed scale — VERDICT r3 item 3.
+
+The reference's flagship distributed artifact is a crossbar transmission
+system of 102,722 nodes with a 14,854-site tunnel subblock at 94.2 M nnz
+(dist_iterative_test/main_test.cpp:46-52), solved multi-node on LUMI by
+update_power_gpu_sparse_dist (current_solver_gpu.cu:1430-1855). This bench
+builds a grid-native crossbar stand-in of the same shape class
+(~100k atoms, >=10k tunnel-eligible vacancies + a contact window), runs the
+FULL fused physics superstep (charge -> K CG -> pairwise -> power build +
+CG -> events -> heat) on one chip, and records memory + per-module
+attribution (forced-pull brackets — jax.profiler hangs through the tunnel).
+
+Usage:
+    python tools/bench_T_scale.py [--n-yz 46] [--oxide 26] [--steps 3]
+                                  [--vd 2.0] [--cpu-smoke]
+
+Writes one JSON line to stdout (driver-recordable), diagnostics to stderr.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-yz", type=int, default=46)
+    ap.add_argument("--oxide", type=int, default=26)
+    ap.add_argument("--ti", type=int, default=2)
+    ap.add_argument("--contacts", type=int, default=10)
+    ap.add_argument("--vac-conc", type=float, default=0.54)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--vd", type=float, default=2.0)
+    ap.add_argument("--wkb-f32", action="store_true",
+                    help="f32 WKB planes (production lever; A/B vs default)")
+    ap.add_argument("--cpu-smoke", action="store_true",
+                    help="tiny shapes on the CPU backend (plumbing check)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+        args.n_yz, args.oxide, args.steps = 8, 8, 1
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(HERE, ".cache", "jaxcache")
+    )
+    import jax.numpy as jnp
+    import numpy as np
+
+    from akmc_tpu.lattice import ELEM
+    from akmc_tpu.models.crossbar import build_grid_crossbar
+    from akmc_tpu.models.vcm import VCMModel
+    from akmc_tpu.rng import BufferedStream, ReferenceRNG
+    from akmc_tpu.runtime.profiling import pull_sync
+    from akmc_tpu.state import make_device_state
+
+    t0 = time.perf_counter()
+    p, lat = build_grid_crossbar(
+        n_yz=args.n_yz, contact_slices=args.contacts,
+        oxide_slices=args.oxide, ti_slices=args.ti,
+        defect_fraction=0.10, vacancy_concentration=args.vac_conc, seed=0,
+        cache_dir=os.path.join(HERE, ".cache"),
+    )
+    # full physics on, incl. global heating: the synthesized crossbar deck
+    # carries no thermal constants — take the 5 nm deck's (parameters.txt:
+    # 73-84) scaled to this device's area/oxide thickness
+    p.solve_current = True
+    p.solve_heating_global = True
+    p.t_ox = args.oxide * 2.131255e-10
+    p.A = (args.n_yz * 2.131255e-10) ** 2
+    p.c_p = 1.92
+    p.dissipation_constant = 1e-13
+    t_build = time.perf_counter() - t0
+
+    el = np.asarray(lat.element0)
+    n_atoms = int(
+        (~np.isin(el, [int(ELEM.DEFECT), int(ELEM.OXYGEN_DEFECT),
+                       int(ELEM.NULL_ELEMENT)])).sum()
+    )
+    n_vac = int((el == int(ELEM.VACANCY)).sum())
+    print(f"[build] {lat.N} slots, {n_atoms} atoms, {n_vac} vacancies "
+          f"in {t_build:.1f}s", file=sys.stderr)
+
+    model = VCMModel(p, lat, rate_normalize=True, wkb_f32=args.wkb_f32)
+    ct = model.current_tables
+    nc = int(ct.contact_idx.shape[0])
+    print(f"[T system] n_atom={model.n_atom} tunnel: vmax={model.vmax} "
+          f"(vacancies {n_vac}) + contacts NC={nc}; "
+          f"W_tt {model.vmax}^2 = {model.vmax**2 * 8 / 1e9:.2f} GB f64, "
+          f"W_ct {nc}x{model.vmax} = {nc * model.vmax * 8 / 1e9:.2f} GB",
+          file=sys.stderr)
+
+    state = make_device_state(lat, p.background_temp)
+    stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
+    Vd = args.vd
+
+    t0 = time.perf_counter()
+    state = model.update_cb_edge(state, Vd)
+    pull_sync(state.cb_edge)
+    t_cb = time.perf_counter() - t0
+    print(f"[cb_edge] {t_cb:.1f}s", file=sys.stderr)
+
+    # ---- per-module attribution (VERDICT item 6): separate dispatches with
+    # forced-pull sync; only useful relative to each other ----
+    attrib = {}
+    t0 = time.perf_counter()
+    high_G = p.high_G * 100000
+    loop_G = p.high_G * 10000000
+    from akmc_tpu.solvers.current import build_power_system, solve_power
+
+    def _build_ps(element, charge, cb):
+        return build_power_system(
+            ct, element[ct.atom_ind], charge[ct.atom_ind], cb[ct.atom_ind],
+            jnp.asarray(np.asarray(p.lattice)), bool(p.pbc), p.nn_dist,
+            high_G, p.low_G, loop_G, p.q * 0.01, p.m_e, p.V0,
+            vmax=model.vmax, ne_max=model.ne_max, wkb_f32=args.wkb_f32,
+        )
+
+    build_jit = jax.jit(_build_ps)
+    ps = build_jit(state.element, state.charge, state.cb_edge)
+    pull_sync(ps.diag)
+    attrib["power_build_cold_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ps = build_jit(state.element, state.charge, state.cb_edge)
+    pull_sync(ps.diag)
+    attrib["power_build_warm_s"] = round(time.perf_counter() - t0, 2)
+
+    solve_jit = jax.jit(
+        lambda ps_, m0: solve_power(
+            ct, ps_, Vd, high_G, loop_G, 2 * 3.8612e-5 * 1e-5, 1.0, m0,
+            state.element[ct.atom_ind],
+        )
+    )
+    m0 = jnp.zeros(model.n_atom + 2, jnp.float64)
+    t0 = time.perf_counter()
+    I_macro, atom_power, m, iters = solve_jit(ps, m0)
+    pull_sync(m)
+    attrib["power_solve_cold_s"] = round(time.perf_counter() - t0, 2)
+    attrib["power_solve_cold_iters"] = int(iters)
+    t0 = time.perf_counter()
+    I2, _, m2, it2 = solve_jit(ps, m)
+    pull_sync(m2)
+    attrib["power_solve_warm_s"] = round(time.perf_counter() - t0, 2)
+    attrib["power_solve_warm_iters"] = int(it2)
+    print(f"[attrib] {attrib} I_macro={float(I_macro):.3e} A", file=sys.stderr)
+
+    # ---- fused full superstep ----
+    m_warm = None
+    times, stats_l = [], []
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        state, stats, m_warm = model.superstep_full(
+            state, Vd, stream, m_prev=m_warm
+        )
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        stats_l.append(stats)
+        print(f"[step {i}] {dt:.1f}s events={stats['n_events']} "
+              f"K_cg={stats['cg_iterations']} pow_cg={stats['power_cg_iterations']} "
+              f"I={stats['I_macro']:.3e}", file=sys.stderr)
+
+    try:
+        hbm = jax.devices()[0].memory_stats()
+        peak_gb = round(hbm.get("peak_bytes_in_use", 0) / 1e9, 2)
+    except Exception:
+        peak_gb = None
+
+    print(json.dumps({
+        "metric": "T_system_full_physics_superstep",
+        "n_atoms": n_atoms,
+        "n_tunnel_vac": n_vac,
+        "n_contact_window": nc,
+        "vmax": model.vmax,
+        "Vd": Vd,
+        "wkb_plane": "f32" if args.wkb_f32 else "f64",
+        "value": float(np.median(times)),
+        "unit": "s",
+        "first_superstep_s": round(times[0], 1),
+        "I_macro_A": stats_l[-1]["I_macro"],
+        "power_cg_iters": stats_l[-1]["power_cg_iterations"],
+        "K_cg_iters": stats_l[-1]["cg_iterations"],
+        "peak_hbm_gb": peak_gb,
+        "attribution": attrib,
+        "build_s": round(t_build, 1),
+        "reference_instance": "102722 nodes / 14854 subblock (main_test.cpp:46-52)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,7 @@ def main():
         p, lat, rate_normalize=True, event_select_incremental=inc_sel,
         pair_f32="--pair-f32" in sys.argv,
         dia_stacked="--dia-stacked" in sys.argv,
+        dia_pallas="--dia-pallas" in sys.argv,
     )
     # rate_normalize: this runtime's emulated f64 carries only the f32
     # exponent range; at Vd=15 absolute rates overflow it (PERF_NOTES)
@@ -132,7 +133,10 @@ def main():
                     if batched else "serial"
                 ),
                 "pair_plane": "f32" if model.pair_f32 else "f64",
-                "dia_matvec": "stacked" if model.dia_stacked else "loop",
+                "dia_matvec": (
+                    "pallas" if getattr(model, "dia_plan", None) is not None
+                    else ("stacked" if model.dia_stacked else "loop")
+                ),
                 "warmup_compile_s": round(t_warm, 1),
                 "first_superstep_s": round(t_first, 1),
                 "build_s": round(t_build, 1),
