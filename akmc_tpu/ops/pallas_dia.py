@@ -160,9 +160,11 @@ def _kernel_factory(plan: DiaPlan):
         for d, o in enumerate(plan.offsets):
             g = plan.group_of[d]
             r = plan.rel[d]
-            c = diags_ref[d, :].reshape(1, T)
-            xh = xw_hi_ref[g, :, r : r + T]
-            xl = xw_lo_ref[g, :, r : r + T]
+            # Mosaic can't compare i8 vectors ("Target does not support this
+            # comparison") — widen in-register; the HBM load stays int8.
+            c = diags_ref[d, :].reshape(1, T).astype(jnp.int32)
+            xh = xw_hi_ref[:, g, r : r + T]
+            xl = xw_lo_ref[:, g, r : r + T]
             is1 = c == 1
             is2 = c == 2
             a_hi, a_lo = acc(
@@ -173,20 +175,20 @@ def _kernel_factory(plan: DiaPlan):
                 b_hi, b_lo,
                 jnp.where(is2, xh, 0.0), jnp.where(is2, xl, 0.0),
             )
-            vh = vw_hi_ref[g, :, r : r + T]
-            vl = vw_lo_ref[g, :, r : r + T]
+            vh = vw_hi_ref[:, g, r : r + T]
+            vl = vw_lo_ref[:, g, r : r + T]
             nz = c != 0
             v_hi, v_lo = acc(
                 v_hi, v_lo,
                 jnp.where(nz, vh, 0.0), jnp.where(nz, vl, 0.0),
             )
 
-        a_hi_ref[:] = a_hi
-        a_lo_ref[:] = a_lo
-        b_hi_ref[:] = b_hi
-        b_lo_ref[:] = b_lo
-        v_hi_ref[:] = v_hi
-        v_lo_ref[:] = v_lo
+        a_hi_ref[:] = a_hi[None]
+        a_lo_ref[:] = a_lo[None]
+        b_hi_ref[:] = b_hi[None]
+        b_lo_ref[:] = b_lo[None]
+        v_hi_ref[:] = v_hi[None]
+        v_lo_ref[:] = v_lo[None]
 
     return kernel
 
@@ -214,9 +216,12 @@ def dia_combined_matvec_pallas(
     vp_hi, vp_lo = _split_hi_lo(vp)
 
     def stack_windows(ph, pl_):
-        wh = jnp.stack([_windows(ph, b, maxo, plan) for b in plan.group_base])
-        wl = jnp.stack([_windows(pl_, b, maxo, plan) for b in plan.group_base])
-        return wh, wl                                   # (G, NB, WIN) f32
+        # grid axis LEADING: Mosaic requires the last two block dims to be
+        # (multiple-of-8, multiple-of-128) OR equal to the array dims — a
+        # (1, G, WIN) block over (NB, G, WIN) satisfies the "equal" clause.
+        wh = jnp.stack([_windows(ph, b, maxo, plan) for b in plan.group_base], axis=1)
+        wl = jnp.stack([_windows(pl_, b, maxo, plan) for b in plan.group_base], axis=1)
+        return wh, wl                                   # (NB, G, WIN) f32
 
     xw_hi, xw_lo = stack_windows(xp_hi, xp_lo)
     vw_hi, vw_lo = stack_windows(vp_hi, vp_lo)
@@ -226,18 +231,23 @@ def dia_combined_matvec_pallas(
         diags = jnp.zeros((D, plan.n_pad), jnp.int8).at[:, :n].set(diags)
 
     kernel = _kernel_factory(plan)
-    out_sds = [jax.ShapeDtypeStruct((NB, T), jnp.float32)] * 6
-    win_spec = pl.BlockSpec((G, 1, WIN), lambda i: (0, i, 0), memory_space=_VMEM)
+    out_sds = [jax.ShapeDtypeStruct((NB, 1, T), jnp.float32)] * 6
+    # index-map constants MUST inherit the grid index's dtype (i * 0, not 0):
+    # under jax_enable_x64 a literal 0 traces as i64 next to the i32 index and
+    # Mosaic fails to legalize the mixed (i64, i32) func.return.
+    win_spec = pl.BlockSpec((1, G, WIN), lambda i: (i, i * 0, i * 0),
+                            memory_space=_VMEM)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_sds,
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((D, T), lambda i: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((D, T), lambda i: (i * 0, i), memory_space=_VMEM),
             win_spec, win_spec, win_spec, win_spec,
         ],
         out_specs=[
-            pl.BlockSpec((1, T), lambda i: (i, 0), memory_space=_VMEM)
+            pl.BlockSpec((1, 1, T), lambda i: (i, i * 0, i * 0),
+                         memory_space=_VMEM)
         ] * 6,
         interpret=plan.interpret,
     )(diags, xw_hi, xw_lo, vw_hi, vw_lo)
