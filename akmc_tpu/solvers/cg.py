@@ -40,6 +40,20 @@ def f64_matvec(M: jnp.ndarray, v: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     return jnp.sum(M * v[:, None], axis=0)
 
 
+def f64_vdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """f64 VECTOR dot as mul+reduce.
+
+    On this runtime ``jnp.dot(v, w)`` on f64 vectors is pathological at
+    multi-million n: measured 50.7 ms vs 1.05 ms for the identical
+    ``jnp.sum(v * w)`` at n = 4.62M (tools/probe_vec_ops.py) — 48x. With
+    two dots per CG iteration that was 101 of the 138 ms/iteration of the
+    crossbar K solve (tools/probe_cg_phase.py). The reduction ORDER differs
+    from dot's, so results shift in the last ulps: production (non-parity)
+    solves only — the golden 5 nm path keeps ``jnp.dot``.
+    """
+    return jnp.sum(a * b)
+
+
 class CGResult(NamedTuple):
     x: jnp.ndarray
     iterations: jnp.ndarray      # int32
@@ -58,6 +72,7 @@ def jacobi_cg(
     relative_tolerance: float | jnp.ndarray,
     max_iterations: int,
     r0: Optional[jnp.ndarray] = None,
+    dot_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = jnp.dot,
 ) -> CGResult:
     """Jacobi-preconditioned CG, reference semantics
     (dist_conjugate_gradient.cpp:149-276).
@@ -70,12 +85,16 @@ def jacobi_cg(
     incrementally across warm-started solves); when given, the entry
     matvec is skipped — on a converged warm start the whole solve then
     runs zero operator applications.
+
+    ``dot_fn``: the vector dot. Default ``jnp.dot`` (parity fp order);
+    production paths pass ``f64_vdot`` (48x faster at multi-M n on this
+    runtime, reassociated reduction).
     """
-    norm2_rhs = jnp.dot(b, b)
+    norm2_rhs = dot_fn(b, b)
 
     r0_vec = (b - A(x0)) if r0 is None else r0
     z0 = r0_vec * inv_diag
-    rz0 = jnp.dot(r0_vec, z0)
+    rz0 = dot_fn(r0_vec, z0)
 
     def cond(c):
         x, r, z, p, rz, k = c
@@ -85,12 +104,12 @@ def jacobi_cg(
         x, r, z, p, rz, k = c
         # p_{k+1} = z + beta p  (first iteration: p = z, handled via beta=0)
         Ap = A(p)
-        pAp = jnp.dot(p, Ap)
+        pAp = dot_fn(p, Ap)
         a = rz / pAp
         x = x + a * p
         r = r - a * Ap
         z_new = r * inv_diag
-        rz_new = jnp.dot(r, z_new)
+        rz_new = dot_fn(r, z_new)
         beta = rz_new / rz
         p = z_new + beta * p
         return (x, r, z_new, p, rz_new, k + 1)
@@ -107,10 +126,12 @@ def symscaled_cg(
     x0: jnp.ndarray,
     tol: float = 1e-14,
     max_iterations: int = 100000,
+    dot_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = jnp.dot,
 ) -> CGResult:
     """CG on the symmetrically-scaled system (D^-1/2 A D^-1/2) y = D^-1/2 b,
     y = D^1/2 x. Reference: solve_sparse_CG_Jacobi
-    (iterative_solvers_gpu.cu:716-887); loop test ||r||^2 > tol^2."""
+    (iterative_solvers_gpu.cu:716-887); loop test ||r||^2 > tol^2.
+    ``dot_fn``: see jacobi_cg."""
     inv_sqrt_d = 1.0 / jnp.sqrt(diag)
 
     def As(y):
@@ -121,22 +142,22 @@ def symscaled_cg(
 
     r0_vec = As(y0) - bs
     p0 = -r0_vec
-    norm0 = jnp.dot(r0_vec, r0_vec)
+    norm0 = dot_fn(r0_vec, r0_vec)
 
     def cond(c):
         y, r, p, k = c
-        return (jnp.dot(r, r) > tol * tol) & (k < max_iterations)
+        return (dot_fn(r, r) > tol * tol) & (k < max_iterations)
 
     def body(c):
         y, r, p, k = c
-        t = jnp.dot(r, r)
+        t = dot_fn(r, r)
         Ap = As(p)
-        alpha = t / jnp.dot(p, Ap)
+        alpha = t / dot_fn(p, Ap)
         y = y + alpha * p
         r = r + alpha * Ap
-        beta = jnp.dot(r, r) / t
+        beta = dot_fn(r, r) / t
         p = beta * p - r
         return (y, r, p, k + 1)
 
     y, r, p, k = lax.while_loop(cond, body, (y0, r0_vec, p0, jnp.asarray(0, jnp.int32)))
-    return CGResult(x=y * inv_sqrt_d, iterations=k, residual_sq=jnp.dot(r, r))
+    return CGResult(x=y * inv_sqrt_d, iterations=k, residual_sq=dot_fn(r, r))

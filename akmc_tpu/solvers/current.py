@@ -49,7 +49,7 @@ import numpy as np
 from akmc_tpu.config import EV_TO_J, H_BAR
 from akmc_tpu.lattice import ELEM
 from akmc_tpu.ops.compact import compact_mask
-from akmc_tpu.solvers.cg import f64_matvec, jacobi_cg
+from akmc_tpu.solvers.cg import f64_matvec, f64_vdot, jacobi_cg
 
 
 class CurrentTables(NamedTuple):
@@ -432,7 +432,13 @@ def solve_power(
         [jnp.stack([ps.diag0, ps.diag1]), ps.diag[:-1]]
     )
     x0 = m_prev[: n_atom + 1]
-    res = jacobi_cg(A, b, x0, inv_diag, rtol_coeff * n_atom, max_iterations)
+    # f64_vdot: the power system is full-physics (never the golden parity
+    # path); the mul+reduce dot avoids the f64 jnp.dot pathology measured
+    # at multi-100k n (tools/probe_vec_ops.py)
+    res = jacobi_cg(
+        A, b, x0, inv_diag, rtol_coeff * n_atom, max_iterations,
+        dot_fn=f64_vdot,
+    )
 
     m = jnp.concatenate([res.x, jnp.zeros(1, res.x.dtype)])   # grounded atom
     m_scaled = m * G0

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from akmc_tpu.lattice import ELEM
-from akmc_tpu.solvers.cg import CGResult, jacobi_cg
+from akmc_tpu.solvers.cg import CGResult, f64_vdot, jacobi_cg
 
 
 class DiaK(NamedTuple):
@@ -285,5 +285,13 @@ def solve_potential_boundary_dia(
     x0 = jnp.where(is_int, potential_boundary_prev, 0.0)
     inv_diag = jnp.where(is_int, 1.0 / jnp.where(is_int, diag, 1.0), 1.0)
 
-    res = jacobi_cg(A, rhs, x0, inv_diag, rtol_coeff * n_int, max_iterations)
+    # f64_vdot: jnp.dot on f64 vectors is ~48x slower than mul+reduce at
+    # crossbar n (tools/probe_vec_ops.py) — the two per-iteration dots were
+    # 101 of the 138 ms/iteration. DIA is the production (non-parity) path,
+    # so the reassociated reduction order is permitted (same class as the
+    # builder's bincount note above).
+    res = jacobi_cg(
+        A, rhs, x0, inv_diag, rtol_coeff * n_int, max_iterations,
+        dot_fn=f64_vdot,
+    )
     return jnp.where(is_int, res.x, 0.0), res
