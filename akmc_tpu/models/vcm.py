@@ -914,7 +914,7 @@ class VCMModel:
                 pot, cg = self._solve_boundary(kop, t, element, charge, pb_prev, Vd)
                 return pot, cg.iterations
 
-            def _phase_pair_rates(t, element, charge, pot_b, T_bg):
+            def _phase_pair(t, charge):
                 c_ovf = jnp.asarray(False)
                 if t.pair_gT is not None:
                     pot_pair, q_ovf = pairwise_potential_table(
@@ -931,16 +931,20 @@ class VCMModel:
                         t.pos, charge, p.cutoff_radius, p.sigma, p.k,
                         qmax=self.qmax,
                     )
+                return pot_pair, q_ovf, c_ovf
+
+            def _phase_rates(t, element, charge, pot_pair, pot_b, T_bg):
                 pot_sum = pot_pair + pot_b
                 P, etype, ln_S = self._build_rates(
                     t, element, charge, pot_sum, T_bg
                 )
-                return pot_sum, P, etype, q_ovf, c_ovf, ln_S
+                return pot_sum, P, etype, ln_S
 
             self._timed_jits = {
                 "charge": jax.jit(_phase_charge),
                 "boundary": jax.jit(_phase_boundary),
-                "pair": jax.jit(_phase_pair_rates),
+                "pair": jax.jit(_phase_pair),
+                "rates": jax.jit(_phase_rates),
             }
 
         from akmc_tpu.runtime.profiling import pull_sync
@@ -964,8 +968,12 @@ class VCMModel:
             self._timed_jits["boundary"], t, self.kop, state.element,
             charge, state.potential_boundary, Vd,
         )
-        (pot_sum, P, etype, q_ovf, c_ovf, ln_S), dt_pair = timed(
-            self._timed_jits["pair"], t, state.element, charge, pot_b, state.T_bg
+        (pot_pair, q_ovf, c_ovf), dt_pair = timed(
+            self._timed_jits["pair"], t, charge
+        )
+        (pot_sum, P, etype, ln_S), dt_rates = timed(
+            self._timed_jits["rates"], t, state.element, charge, pot_pair,
+            pot_b, state.T_bg,
         )
         if bool(np.asarray(q_ovf)) or bool(np.asarray(c_ovf)):
             if bool(np.asarray(q_ovf)):
@@ -1009,6 +1017,7 @@ class VCMModel:
             "t_charge": dt_charge,
             "t_boundary": dt_boundary,
             "t_pairwise": dt_pair,
+            "t_rates": dt_rates,
             "t_events": dt_events,
         }
         return new_state, stats
