@@ -249,6 +249,11 @@ def _ct_loop_bound(dE_abs, ok, ne_max: int):
 # per-superstep dynamic assembly (compact pieces, no big matrix)
 # ---------------------------------------------------------------------------
 
+# W-block build row-chunk size (see wkb_block inside build_power_system);
+# module-level so tests can shrink it to pin chunked == direct equality
+_WKB_ROW_BLOCK = 1024
+
+
 class PowerSystem(NamedTuple):
     """Per-superstep operator pieces for the transmission system."""
 
@@ -263,15 +268,17 @@ class PowerSystem(NamedTuple):
 
 
 def _pair_dist_m(pos_a, pos_b, lattice, pbc):
-    d = pos_a[:, None, :] - pos_b[None, :, :]
+    # per-axis (rows, cols) planes, never the (rows, cols, 3) delta tensor
+    # (at the T-system scale that tensor alone is ~GBs of transient HBM)
+    dx = pos_a[:, 0][:, None] - pos_b[None, :, 0]
+    dy = pos_a[:, 1][:, None] - pos_b[None, :, 1]
+    dz = pos_a[:, 2][:, None] - pos_b[None, :, 2]
     if pbc:
-        dy = d[..., 1] / lattice[1]
+        dy = dy / lattice[1]
         dy = (dy - jnp.round(dy)) * lattice[1]
-        dz = d[..., 2] / lattice[2]
+        dz = dz / lattice[2]
         dz = (dz - jnp.round(dz)) * lattice[2]
-        d2 = d[..., 0] ** 2 + dy**2 + dz**2
-    else:
-        d2 = jnp.sum(d * d, -1)
+    d2 = dx * dx + dy * dy + dz * dz
     return 1e-10 * jnp.sqrt(d2), jnp.sqrt(d2)
 
 
@@ -316,7 +323,7 @@ def build_power_system(
     pos_v = ct.atom_pos[vi]
     pos_c = ct.atom_pos[cidx]
 
-    def wkb_block(pos_a, pos_b, cb_a, cb_b, mask_a, mask_b, idx_a, idx_b, integrate):
+    def wkb_block_direct(pos_a, pos_b, cb_a, cb_b, mask_a, mask_b, idx_a, idx_b, integrate):
         dist_m, dist_ang = _pair_dist_m(pos_a, pos_b, lattice, pbc)
         dE = jnp.abs(cb_a[:, None] - cb_b[None, :])
         neighbor = dist_ang < nn_dist
@@ -337,6 +344,45 @@ def build_power_system(
         else:
             T = _wkb_single(dist_m, dE_safe, m_e, V0, f32=wkb_f32)
         return jnp.where(ok, T, 0.0)
+
+    # Row-chunked build: the direct form materializes ~15-25 (rows, cols)
+    # transients (the pair-delta tensor is (rows, cols, 3)); at the
+    # reference-scale T system (vmax = 22,528) that is ~47 GB of compile-
+    # time HBM (measured OOM, BENCH notes r04) — 3x the chip. lax.map over
+    # row blocks caps transients at one (B, cols) chunk while the OUTPUT
+    # block alone stays resident. Bit-identical to the direct form: the
+    # per-element math is unchanged and the per-chunk integration bound
+    # (_ct_loop_bound) only truncates masked exact zeros. Reference
+    # analogue: the reference streams the same blocks per-rank
+    # (assemble_T / create_X, current_solver_gpu.cu:2130-2290).
+
+    def wkb_block(pos_a, pos_b, cb_a, cb_b, mask_a, mask_b, idx_a, idx_b, integrate):
+        rows = pos_a.shape[0]
+        cols = pos_b.shape[0]
+        B = _WKB_ROW_BLOCK
+        if rows * cols <= 4 * B * B:
+            return wkb_block_direct(
+                pos_a, pos_b, cb_a, cb_b, mask_a, mask_b, idx_a, idx_b,
+                integrate,
+            )
+        pad = (-rows) % B
+        padded = (
+            jnp.concatenate([pos_a, jnp.zeros((pad, 3), pos_a.dtype)]),
+            jnp.concatenate([cb_a, jnp.zeros(pad, cb_a.dtype)]),
+            jnp.concatenate([mask_a, jnp.zeros(pad, bool)]),   # pad rows -> ok=False -> 0
+            jnp.concatenate([idx_a, jnp.full(pad, -2, idx_a.dtype)]),
+        )
+        nb = (rows + pad) // B
+        chunks = tuple(a.reshape((nb, B) + a.shape[1:]) for a in padded)
+
+        def one(chunk):
+            ca, cba, cma, cia = chunk
+            return wkb_block_direct(
+                ca, pos_b, cba, cb_b, cma, mask_b, cia, idx_b, integrate
+            )
+
+        out = jax.lax.map(one, chunks)
+        return out.reshape(nb * B, cols)[:rows]
 
     ones_c = jnp.ones(cidx.shape[0], bool)
     W_tt = wkb_block(pos_v, pos_v, cb[vi], cb[vi], vv, vv, vac_idx, vac_idx, False)
