@@ -128,8 +128,14 @@ def main():
     ps = build_jit(state.element, state.charge, state.cb_edge)
     pull_sync(ps.diag)
     attrib["power_build_cold_s"] = round(time.perf_counter() - t0, 2)
+    # warm bracket: (1) DROP the cold result first — at the T scale two f64
+    # W_tt blocks cannot coexist in HBM (measured ResourceExhausted);
+    # (2) PERTURB an input — the runtime result-caches identical
+    # (executable, args) calls, so an identical warm call measures nothing
+    ps = None
+    cb_w = state.cb_edge * (1.0 + 1e-12)
     t0 = time.perf_counter()
-    ps = build_jit(state.element, state.charge, state.cb_edge)
+    ps = build_jit(state.element, state.charge, cb_w)
     pull_sync(ps.diag)
     attrib["power_build_warm_s"] = round(time.perf_counter() - t0, 2)
 
@@ -152,20 +158,29 @@ def main():
     attrib["power_solve_warm_iters"] = int(it2)
     print(f"[attrib] {attrib} I_macro={float(I_macro):.3e} A", file=sys.stderr)
 
-    # ---- fused full superstep ----
+    # ---- fused full superstep (fail-soft: at this scale the FUSED f64
+    # program exceeds single-chip HBM — the W blocks + fields pass coexist
+    # in one executable; the reference also needed multi-node for this
+    # system in f64. Record the module attribution either way and note the
+    # fused status instead of dying rc=1.) ----
     m_warm = None
     times, stats_l = [], []
-    for i in range(args.steps):
-        t0 = time.perf_counter()
-        state, stats, m_warm = model.superstep_full(
-            state, Vd, stream, m_prev=m_warm
-        )
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        stats_l.append(stats)
-        print(f"[step {i}] {dt:.1f}s events={stats['n_events']} "
-              f"K_cg={stats['cg_iterations']} pow_cg={stats['power_cg_iterations']} "
-              f"I={stats['I_macro']:.3e}", file=sys.stderr)
+    fused_error = None
+    try:
+        for i in range(args.steps):
+            t0 = time.perf_counter()
+            state, stats, m_warm = model.superstep_full(
+                state, Vd, stream, m_prev=m_warm
+            )
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            stats_l.append(stats)
+            print(f"[step {i}] {dt:.1f}s events={stats['n_events']} "
+                  f"K_cg={stats['cg_iterations']} pow_cg={stats['power_cg_iterations']} "
+                  f"I={stats['I_macro']:.3e}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — record, don't lose the artifact
+        fused_error = f"{type(exc).__name__}: {str(exc)[:300]}"
+        print(f"[fused superstep FAILED] {fused_error}", file=sys.stderr)
 
     try:
         hbm = jax.devices()[0].memory_stats()
@@ -181,12 +196,14 @@ def main():
         "vmax": model.vmax,
         "Vd": Vd,
         "wkb_plane": "f32" if args.wkb_f32 else "f64",
-        "value": float(np.median(times)),
+        "value": float(np.median(times)) if times else None,
         "unit": "s",
-        "first_superstep_s": round(times[0], 1),
-        "I_macro_A": stats_l[-1]["I_macro"],
-        "power_cg_iters": stats_l[-1]["power_cg_iterations"],
-        "K_cg_iters": stats_l[-1]["cg_iterations"],
+        "first_superstep_s": round(times[0], 1) if times else None,
+        "fused_superstep_error": fused_error,
+        **({"I_macro_A": stats_l[-1]["I_macro"],
+            "power_cg_iters": stats_l[-1]["power_cg_iterations"],
+            "K_cg_iters": stats_l[-1]["cg_iterations"]} if stats_l
+           else {"I_macro_A_modulewise": float(I2)}),
         "peak_hbm_gb": peak_gb,
         "attribution": attrib,
         "build_s": round(t_build, 1),

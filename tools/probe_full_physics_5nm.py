@@ -66,13 +66,18 @@ def main():
     high_G = p.high_G * 100000
     loop_G = p.high_G * 10000000
 
-    def bracket(fn, *a, reps=args.reps):
+    def bracket(fn, *a, reps=args.reps, vary=None):
+        """vary(i) -> args for rep i. REQUIRED for correct timing: the
+        runtime result-caches identical (executable, args) calls, so
+        identical reps measure nothing (CLAUDE.md). Defaults to the
+        given args (only valid when the caller varies state itself)."""
         out = fn(*a)       # compile + cold
         pull_sync(jax.tree_util.tree_leaves(out)[0])
         ts = []
-        for _ in range(reps):
+        for i in range(1, reps + 1):
+            ai = vary(i) if vary is not None else a
             t0 = time.perf_counter()
-            out = fn(*a)
+            out = fn(*ai)
             pull_sync(jax.tree_util.tree_leaves(out)[0])
             ts.append(time.perf_counter() - t0)
         return out, float(np.median(ts))
@@ -81,11 +86,15 @@ def main():
            "n_atom": model.n_atom, "vmax": model.vmax,
            "nc": int(ct.contact_idx.shape[0])}
 
-    # 1. fields pass alone
+    # 1. fields pass alone (vary the warm-start potential per rep)
     fields = jax.jit(model._fields)
     _, res["fields_s"] = bracket(
         fields, model.tables, model.kop, state.element, state.charge,
         state.potential_boundary, state.T_bg, Vd,
+        vary=lambda i: (
+            model.tables, model.kop, state.element, state.charge,
+            state.potential_boundary * (1.0 + 1e-12 * i), state.T_bg, Vd,
+        ),
     )
 
     # 2. power-system build, split: W_ct integral loop bound + full build
@@ -98,7 +107,10 @@ def main():
         )
 
     ps, res["power_build_s"] = bracket(
-        jax.jit(_build), state.element, state.charge, state.cb_edge
+        jax.jit(_build), state.element, state.charge, state.cb_edge,
+        vary=lambda i: (
+            state.element, state.charge, state.cb_edge * (1.0 + 1e-12 * i)
+        ),
     )
 
     # 2b. the W_ct integral alone (same shapes as inside the build)
@@ -107,7 +119,10 @@ def main():
         return full.W_ct
 
     _, res["power_build_wct_probe_s"] = bracket(
-        jax.jit(_wct_only), state.element, state.charge, state.cb_edge
+        jax.jit(_wct_only), state.element, state.charge, state.cb_edge,
+        vary=lambda i: (
+            state.element, state.charge, state.cb_edge * (1.0 + 1e-12 * i)
+        ),
     )
 
     # 3. power CG solve alone (warm-started like production)
@@ -118,9 +133,14 @@ def main():
             state.element[ct.atom_ind],
         )
     )
-    (I, _, m, iters), res["power_solve_cold_s"] = bracket(solve, ps, m0, reps=1)
+    (I, _, m, iters), res["power_solve_cold_s"] = bracket(
+        solve, ps, m0, reps=1,
+        vary=lambda i: (ps, m0.at[0].set(1e-30 * i)),   # cold start, uncached
+    )
     res["power_solve_cold_iters"] = int(iters)
-    (_, _, m2, it2), res["power_solve_warm_s"] = bracket(solve, ps, m)
+    (_, _, m2, it2), res["power_solve_warm_s"] = bracket(
+        solve, ps, m, vary=lambda i: (ps, m * (1.0 + 1e-12 * i))
+    )
     res["power_solve_warm_iters"] = int(it2)
     res["I_macro_A"] = float(I)
 
