@@ -157,6 +157,10 @@ def main():
     attrib["power_solve_warm_s"] = round(time.perf_counter() - t0, 2)
     attrib["power_solve_warm_iters"] = int(it2)
     print(f"[attrib] {attrib} I_macro={float(I_macro):.3e} A", file=sys.stderr)
+    I2 = float(I2)   # host-side NOW: after a fused-superstep OOM the
+    #                  device pull itself fails (measured)
+    # free the standalone system before the fused attempt (HBM headroom)
+    ps = m = m2 = atom_power = None
 
     # ---- fused full superstep (fail-soft: at this scale the FUSED f64
     # program exceeds single-chip HBM — the W blocks + fields pass coexist
