@@ -157,6 +157,18 @@ def main():
     res["superstep_full_warm_s"] = float(np.median(ts))
     res["superstep_events"] = stats["n_events"]
 
+    # 5. fields pass on the EVOLVED state (warm K start — bracket 1's
+    # state.potential_boundary is all-zeros, so it times a ~350-iteration
+    # cold solve, not the production fields cost)
+    _, res["fields_warm_s"] = bracket(
+        fields, model.tables, model.kop, state2.element, state2.charge,
+        state2.potential_boundary, state2.T_bg, Vd,
+        vary=lambda i: (
+            model.tables, model.kop, state2.element, state2.charge,
+            state2.potential_boundary * (1.0 + 1e-12 * i), state2.T_bg, Vd,
+        ),
+    )
+
     print(json.dumps(res))
 
 
