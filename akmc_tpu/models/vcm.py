@@ -39,6 +39,7 @@ from akmc_tpu.rng import ReferenceRNG
 from akmc_tpu.solvers.current import (
     CurrentTables,
     build_current_tables,
+    build_power_band,
     build_power_system,
     solve_power,
 )
@@ -448,6 +449,9 @@ class VCMModel:
         self._step_full_jit = None      # fused full-physics superstep
         self._multi_jits = {}
         self._current_tables = None
+        self._power_band = None         # static atom band for solve_power
+        self._power_band_meta = None
+        self._power_band_built = False
         self._local_heat = None
         self.mesh = None                # set by parallel.mesh.shard_model
 
@@ -1239,9 +1243,9 @@ class VCMModel:
             lh = self.local_heat if self.params.solve_heating_local else None
             m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
             _c("full_step", self._step_full_jit.lower(
-                t, self.kop, ct, lh, state.element, state.charge,
-                state.potential_boundary, state.cb_edge, state.temperature,
-                state.T_bg, m_prev, float(Vd), rb,
+                t, self.kop, ct, self.power_band, lh, state.element,
+                state.charge, state.potential_boundary, state.cb_edge,
+                state.temperature, state.T_bg, m_prev, float(Vd), rb,
             ))
             _c("cb_edge", self._cb_jit.lower(
                 t, state.element, state.charge, state.cb_edge, float(Vd)
@@ -1285,6 +1289,25 @@ class VCMModel:
     def n_atom(self) -> int:
         return int(self.current_tables.atom_ind.shape[0])
 
+    @property
+    def power_band(self):
+        """Static int8 band over the atom adjacency for solve_power's
+        neighbor part (build_power_band; None -> gather fallback). The
+        band is a jit ARGUMENT everywhere (closed-over arrays bake in as
+        constants — ~600x slower per call through the tunnel)."""
+        if not self._power_band_built:
+            p = self.params
+            ct = self.current_tables
+            built = build_power_band(
+                ct,
+                np.asarray(self.lat.element0)[np.asarray(ct.atom_ind)],
+                p.high_G * 100000, p.low_G,
+            )
+            if built is not None:
+                self._power_band, self._power_band_meta = built
+            self._power_band_built = True
+        return self._power_band
+
     def _shard_power_system(self, ps):
         """Row-shard the tunnel blocks + neighbor plane over the mesh: the
         TPU-native equivalent of the reference's row-distributed sparse T
@@ -1307,7 +1330,7 @@ class VCMModel:
             W_cc=c(ps.W_cc),
         )
 
-    def _power(self, ct, element, charge, cb_edge, m_prev, Vd):
+    def _power(self, ct, pband, element, charge, cb_edge, m_prev, Vd):
         p = self.params
         high_G = p.high_G * 100000          # kmc_main.cpp:294-302 constants
         loop_G = p.high_G * 10000000
@@ -1325,8 +1348,13 @@ class VCMModel:
             vmax=self.vmax, ne_max=self.ne_max, wkb_f32=self.wkb_f32,
         )
         ps = self._shard_power_system(ps)
+        cvac = (atom_elem == int(ELEM.VACANCY)) & (atom_charge == 0)
         I_macro, atom_power, m, iters = solve_power(
-            ct, ps, Vd, high_G, loop_G, G0, alpha, m_prev, atom_elem
+            ct, ps, Vd, high_G, loop_G, G0, alpha, m_prev, atom_elem,
+            band=pband,
+            band_meta=self._power_band_meta if pband is not None else None,
+            cvac=cvac, nn_dist=p.nn_dist,
+            lattice=jnp.asarray(np.asarray(p.lattice)), pbc=bool(p.pbc),
         )
         n = element.shape[0]
         site_power = jnp.zeros(n, atom_power.dtype).at[ct.atom_ind].set(atom_power)
@@ -1341,7 +1369,8 @@ class VCMModel:
         if m_prev is None:
             m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
         I_macro, site_power, m, iters, ovf = self._power_jit(
-            ct, state.element, state.charge, state.cb_edge, m_prev, Vd
+            ct, self.power_band, state.element, state.charge, state.cb_edge,
+            m_prev, Vd,
         )
         if bool(ovf):
             self.vmax *= 2
@@ -1485,8 +1514,8 @@ class VCMModel:
             ]),
         ])
 
-    def _step_full(self, t: StaticTables, bk, ct, lh, element, charge, pb_prev,
-                   cb_edge, temperature, T_bg, m_prev, Vd, rand_buf):
+    def _step_full(self, t: StaticTables, bk, ct, pband, lh, element, charge,
+                   pb_prev, cb_edge, temperature, T_bg, m_prev, Vd, rand_buf):
         # lh: LocalHeat tables as a jit ARGUMENT (closed-over arrays bake in
         # as constants — ~600x slower per call through the tunnel,
         # PERF_NOTES); None when solve_heating_local is off
@@ -1495,7 +1524,7 @@ class VCMModel:
 
         # current + dissipated power on THIS superstep's charge
         I_macro, site_power, m_new, pow_iters, pw_ovf = self._power(
-            ct, element, fr.charge, cb_edge, m_prev, Vd
+            ct, pband, element, fr.charge, cb_edge, m_prev, Vd
         )
 
         P_rep, etype_rep, neigh_rep, zrows_rep = self._loop_arrays(t, fr.P, fr.etype)
@@ -1540,9 +1569,9 @@ class VCMModel:
         ct = self.current_tables
         lh = self.local_heat if self.params.solve_heating_local else None
         fr, res, site_power, m_new, T_new, temp_new, diag = self._step_full_jit(
-            self.tables, self.kop, ct, lh, state.element, state.charge,
-            state.potential_boundary, state.cb_edge, state.temperature,
-            state.T_bg, m_prev, Vd, rand_buf,
+            self.tables, self.kop, ct, self.power_band, lh, state.element,
+            state.charge, state.potential_boundary, state.cb_edge,
+            state.temperature, state.T_bg, m_prev, Vd, rand_buf,
         )
         d = np.asarray(diag)
         if d[5] != 0.0 or d[6] != 0.0 or d[11] != 0.0:
@@ -1593,14 +1622,14 @@ class VCMModel:
             m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
         key = ("full", k, rand_chunk)
         if key not in self._multi_jits:
-            def _multi(t, bk, ct, lh, element, charge, pb, cb, temp, T_bg, m,
-                       Vd, rand_buf):
+            def _multi(t, bk, ct, pband, lh, element, charge, pb, cb, temp,
+                       T_bg, m, Vd, rand_buf):
                 def body(carry, _):
                     element, charge, pb, pc, temp, T_bg, m, cursor = carry
                     window = lax.dynamic_slice(rand_buf, (cursor,), (rand_chunk,))
                     fr, res, site_power, m, T_bg, temp, diag = self._step_full(
-                        t, bk, ct, lh, element, charge, pb, cb, temp, T_bg, m,
-                        Vd, window,
+                        t, bk, ct, pband, lh, element, charge, pb, cb, temp,
+                        T_bg, m, Vd, window,
                     )
                     carry = (
                         res.element, res.charge, fr.potential_boundary,
@@ -1625,9 +1654,9 @@ class VCMModel:
         ct = self.current_tables
         lh = self.local_heat if self.params.solve_heating_local else None
         element, charge, pb, pc, temp, T_bg, m, diag, power = self._multi_jits[key](
-            self.tables, self.kop, ct, lh, state.element, state.charge,
-            state.potential_boundary, state.cb_edge, state.temperature,
-            state.T_bg, m_prev, Vd, rand_buf,
+            self.tables, self.kop, ct, self.power_band, lh, state.element,
+            state.charge, state.potential_boundary, state.cb_edge,
+            state.temperature, state.T_bg, m_prev, Vd, rand_buf,
         )
         d = np.asarray(diag)                     # (k, 12)
         if (

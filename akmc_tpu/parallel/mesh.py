@@ -115,6 +115,22 @@ def shard_model(model, mesh: Mesh):
                 if n != "blocks"
             },
         )
+    # solve_power's static atom band (same 1-D block-row decomposition);
+    # the property builds it on first access, so only touch it when the
+    # model will actually run the full-physics branch
+    if getattr(getattr(model, "params", None), "solve_current", False):
+        pb = model.power_band
+        if pb is not None:
+            nb = pb.blocks.shape[0]
+            blocks_sh = rs if nb % mesh.size == 0 else rep
+            model._power_band = pb._replace(
+                blocks=jax.device_put(pb.blocks, blocks_sh),
+                **{
+                    n: jax.device_put(getattr(pb, n), rep)
+                    for n in pb._fields
+                    if n != "blocks"
+                },
+            )
     if getattr(model, "dia", None) is not None:
         dk = model.dia
         model.dia = dk._replace(

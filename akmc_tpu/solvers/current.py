@@ -432,6 +432,73 @@ def _X_atoms_matvec(ct: CurrentTables, ps: PowerSystem, va: jnp.ndarray) -> jnp.
     return y
 
 
+def build_power_band(
+    ct: CurrentTables,
+    atom_element0: np.ndarray,
+    high_G: float,
+    low_G: float,
+    max_band_bytes: float = 2e9,
+):
+    """Static int8 band operator over the ATOM adjacency for solve_power.
+
+    The (N_atom, NNa) f64 neighbor gather in _X_atoms_matvec costs
+    ~19 ms/CG-iteration at the 5 nm system — 93% of the CG body
+    (tools/probe_power_phase.py). The neighbor conductance rule is the
+    SAME rule the boundary-K operator encodes (high_G on metal-metal or
+    conductive-vacancy pairs, low_G otherwise; build_power_system
+    `pair_high`), so the static part rides the identical int8 band
+    (code 1 = low_G, code 2 = metal-metal high_G) decoded inside the MXU
+    mul+reduce — zero gathers per iteration. The dynamic cvac-cvac dG
+    edges fold into the dense W_tt block once per solve (_cvac_fold).
+
+    Returns (BandedK, BandMeta) or None (gather fallback) — None when the
+    lexsorted atom bandwidth is too wide for the dense band to pay off.
+    Reference analogue: the neighbor part of the distributed sparse T
+    matvec (dist_spmv_split_sparse.cpp:5-78)."""
+    from akmc_tpu.solvers.banded import build_banded_k
+
+    return build_banded_k(
+        np.asarray(ct.atom_pos),
+        np.asarray(ct.atom_neigh_idx),
+        np.asarray(ct.atom_is_metal),
+        np.asarray(atom_element0),
+        0, high_G, low_G,
+        max_band_bytes=max_band_bytes,
+    )
+
+
+def _cvac_fold(pos_v, cvac_v, vac_idx, lattice, pbc, nn_dist, dtype, dG):
+    """dG * (neighbor & cvac_i & cvac_j) adjacency over the compacted
+    vacancy list — the dynamic part of build_power_system's `pair_high`
+    rule that the static band codes cannot carry. Folding it into W_tt
+    costs nothing per CG iteration (it rides the existing dense matvec).
+    Row-chunked like wkb_block: the direct (V, V) distance build is fine
+    at device scale (vmax ~1k) but transient-heavy at the reference's
+    distributed T scale (vmax 22k)."""
+
+    def block(chunk_pos, chunk_cvac, chunk_idx):
+        _, dist_ang = _pair_dist_m(chunk_pos, pos_v, lattice, pbc)
+        same = chunk_idx[:, None] == vac_idx[None, :]
+        adj = (
+            (dist_ang < nn_dist) & ~same
+            & chunk_cvac[:, None] & cvac_v[None, :]
+        )
+        return jnp.where(adj, jnp.asarray(dG, dtype), jnp.asarray(0, dtype))
+
+    rows = pos_v.shape[0]
+    B = _WKB_ROW_BLOCK
+    if rows * rows <= 4 * B * B:
+        return block(pos_v, cvac_v, vac_idx)
+    pad = (-rows) % B
+    pp = jnp.concatenate([pos_v, jnp.zeros((pad, 3), pos_v.dtype)])
+    pc = jnp.concatenate([cvac_v, jnp.zeros(pad, bool)])
+    pi = jnp.concatenate([vac_idx, jnp.full(pad, -2, vac_idx.dtype)])
+    nb = (rows + pad) // B
+    chunks = (pp.reshape(nb, B, 3), pc.reshape(nb, B), pi.reshape(nb, B))
+    out = jax.lax.map(lambda c: block(*c), chunks)
+    return out.reshape(nb * B, rows)[:rows]
+
+
 def solve_power(
     ct: CurrentTables,
     ps: PowerSystem,
@@ -444,6 +511,12 @@ def solve_power(
     atom_element: jnp.ndarray,
     rtol_coeff: float = 1e-16,
     max_iterations: int = 10000,
+    band=None,                      # (BandedK) static atom band — see
+    band_meta=None,                 #   build_power_band; None = gather path
+    cvac=None,                      # (N_atom,) conductive-vacancy mask
+    nn_dist: float = 0.0,
+    lattice=None,
+    pbc: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Solve X m = b, return (I_macro [A], atom_power (N_atom,) [W],
     m (N_atom+2) unscaled, cg_iters).
@@ -461,32 +534,95 @@ def solve_power(
 
     Unknowns: nodes [0,1] + atoms 0..N_atom-2 (last atom grounded, matching
     the dense path's leading-principal-block LU, current_solver_gpu.cu:2466).
+
+    With ``band`` (build_power_band), the CG runs in the band's solver
+    frame: the neighbor part is the int8 band_matvec (no gather), the
+    dynamic cvac-cvac dG edges are folded into W_tt once per solve, and
+    the grounded atom's row is replaced by an identity row (its residual
+    starts and stays exactly zero, so the iteration is equivalent to
+    dropping it). Measured: CG body 20.6 -> ~6 ms/iteration at 5 nm.
     """
     n_atom = ct.atom_ind.shape[0]
 
-    def A(v):
-        # v: (N_atom + 1,) = [ext, inj, atoms[:-1]]
-        va = jnp.concatenate([v[2:], jnp.zeros(1, v.dtype)])
-        y_at = ps.diag * va + _X_atoms_matvec(ct, ps, va)
-        y_at = y_at - high_G * ct.inj_tie * v[1] - high_G * ct.ext_tie * v[0]
-        y0 = ps.diag0 * v[0] - loop_G * v[1] - high_G * jnp.sum(jnp.where(ct.ext_tie, va, 0.0))
-        y1 = ps.diag1 * v[1] - loop_G * v[0] - high_G * jnp.sum(jnp.where(ct.inj_tie, va, 0.0))
-        return jnp.concatenate([jnp.stack([y0, y1]), y_at[:-1]])
+    if band is not None:
+        from akmc_tpu.solvers.banded import band_matvec
 
-    b = jnp.zeros(n_atom + 1).at[0].set(-loop_G * Vd).at[1].set(loop_G * Vd)
-    inv_diag = 1.0 / jnp.concatenate(
-        [jnp.stack([ps.diag0, ps.diag1]), ps.diag[:-1]]
-    )
-    x0 = m_prev[: n_atom + 1]
-    # f64_vdot: the power system is full-physics (never the golden parity
-    # path); the mul+reduce dot avoids the f64 jnp.dot pathology measured
-    # at multi-100k n (tools/probe_vec_ops.py)
-    res = jacobi_cg(
-        A, b, x0, inv_diag, rtol_coeff * n_atom, max_iterations,
-        dot_fn=f64_vdot,
-    )
+        bk, meta = band, band_meta
+        perm, invp = bk.perm, bk.inv_perm
+        dGv = meta.val_both - meta.val_low
+        diag_p = ps.diag[perm]
+        inj_p = ct.inj_tie[perm]
+        ext_p = ct.ext_tie[perm]
+        g_p = invp[n_atom - 1]                     # grounded atom's slot
+        gmask = jnp.ones(n_atom, bool).at[g_p].set(False)
+        vi = ps.vac_idx.clip(0)
+        vv = ps.vac_idx >= 0
+        vi_p = invp[vi]
+        cidx_p = invp[ct.contact_idx]
 
-    m = jnp.concatenate([res.x, jnp.zeros(1, res.x.dtype)])   # grounded atom
+        W_tt = ps.W_tt + _cvac_fold(
+            ct.atom_pos[vi], jnp.where(vv, cvac[vi], False), ps.vac_idx,
+            lattice, pbc, nn_dist, ps.W_tt.dtype, dGv,
+        )
+
+        def A(v):
+            # v: (N_atom + 2,) = [ext, inj, atoms (solver frame; grounded
+            # slot pinned by the identity row)]
+            va = jnp.where(gmask, v[2:], 0.0)
+            y = diag_p * va - band_matvec(bk, meta, va)
+            v_v = jnp.where(vv, va[vi_p], 0.0)
+            v_c = va[cidx_p]
+            y_v = -f64_matvec(W_tt, v_v) - f64_matvec(ps.W_ct, v_c, axis=0)
+            y_c = -f64_matvec(ps.W_cc, v_c) - f64_matvec(ps.W_ct, v_v)
+            y = y.at[vi_p].add(jnp.where(vv, y_v, 0.0))
+            y = y.at[cidx_p].add(y_c)
+            y = y - high_G * inj_p * v[1] - high_G * ext_p * v[0]
+            y0 = ps.diag0 * v[0] - loop_G * v[1] - high_G * jnp.sum(
+                jnp.where(ext_p, va, 0.0)
+            )
+            y1 = ps.diag1 * v[1] - loop_G * v[0] - high_G * jnp.sum(
+                jnp.where(inj_p, va, 0.0)
+            )
+            y = jnp.where(gmask, y, v[2:])
+            return jnp.concatenate([jnp.stack([y0, y1]), y])
+
+        b = jnp.zeros(n_atom + 2).at[0].set(-loop_G * Vd).at[1].set(loop_G * Vd)
+        inv_diag = jnp.concatenate([
+            1.0 / jnp.stack([ps.diag0, ps.diag1]),
+            jnp.where(gmask, 1.0 / jnp.where(gmask, diag_p, 1.0), 1.0),
+        ])
+        x0 = jnp.concatenate(
+            [m_prev[:2], jnp.where(gmask, m_prev[2:][perm], 0.0)]
+        )
+        res = jacobi_cg(
+            A, b, x0, inv_diag, rtol_coeff * n_atom, max_iterations,
+            dot_fn=f64_vdot,
+        )
+        m = jnp.concatenate([res.x[:2], res.x[2:][invp]])
+    else:
+        def A(v):
+            # v: (N_atom + 1,) = [ext, inj, atoms[:-1]]
+            va = jnp.concatenate([v[2:], jnp.zeros(1, v.dtype)])
+            y_at = ps.diag * va + _X_atoms_matvec(ct, ps, va)
+            y_at = y_at - high_G * ct.inj_tie * v[1] - high_G * ct.ext_tie * v[0]
+            y0 = ps.diag0 * v[0] - loop_G * v[1] - high_G * jnp.sum(jnp.where(ct.ext_tie, va, 0.0))
+            y1 = ps.diag1 * v[1] - loop_G * v[0] - high_G * jnp.sum(jnp.where(ct.inj_tie, va, 0.0))
+            return jnp.concatenate([jnp.stack([y0, y1]), y_at[:-1]])
+
+        b = jnp.zeros(n_atom + 1).at[0].set(-loop_G * Vd).at[1].set(loop_G * Vd)
+        inv_diag = 1.0 / jnp.concatenate(
+            [jnp.stack([ps.diag0, ps.diag1]), ps.diag[:-1]]
+        )
+        x0 = m_prev[: n_atom + 1]
+        # f64_vdot: the power system is full-physics (never the golden parity
+        # path); the mul+reduce dot avoids the f64 jnp.dot pathology measured
+        # at multi-100k n (tools/probe_vec_ops.py)
+        res = jacobi_cg(
+            A, b, x0, inv_diag, rtol_coeff * n_atom, max_iterations,
+            dot_fn=f64_vdot,
+        )
+
+        m = jnp.concatenate([res.x, jnp.zeros(1, res.x.dtype)])   # grounded atom
     m_scaled = m * G0
 
     # I_macro: extraction-rail sum (get_imacro, current_solver_gpu.cu:2493-2507)

@@ -432,3 +432,68 @@ def test_wkb_chunked_build_matches_direct(setup, monkeypatch):
         a = np.asarray(getattr(direct, name))
         b = np.asarray(getattr(chunked, name))
         assert (a == b).all(), f"{name} differs under chunking"
+
+
+def test_solve_power_band_matches_gather(setup):
+    """The banded solve_power path (static int8 atom band + cvac-cvac fold
+    into W_tt, build_power_band) solves the SAME system as the gather path:
+    I_macro, atom_power and the determined m components agree to solver
+    tolerance. The band kills the (N_atom, NNa) f64 neighbor gather that
+    measured 93% of the power-CG body at 5 nm (tools/probe_power_phase.py)."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.solvers.current import (
+        build_power_band,
+        build_power_system,
+        solve_power,
+    )
+
+    p, lat, ct, atom_elem, atom_charge, cb = setup
+    high_G = p.high_G * 100000
+    loop_G = p.high_G * 10000000
+    G0 = 2 * 3.8612e-5 * 1e-5
+    tol = p.q * 0.01
+    Vd = 2.0
+    n_atom = len(atom_elem)
+    lattice = jnp.asarray(np.asarray(p.lattice))
+
+    ps = build_power_system(
+        ct, jnp.asarray(atom_elem), jnp.asarray(atom_charge), jnp.asarray(cb),
+        lattice, False, p.nn_dist, high_G, p.low_G, loop_G, tol,
+        p.m_e, p.V0, vmax=64, ne_max=512,
+    )
+    band = build_power_band(ct, atom_elem, high_G, p.low_G)
+    assert band is not None, "toy atom adjacency must band"
+    bk, meta = band
+    cvac = jnp.asarray(
+        (atom_elem == int(ELEM.VACANCY)) & (atom_charge == 0)
+    )
+    assert bool(cvac.sum()) > 0, "fixture must exercise the cvac fold"
+
+    I_g, pw_g, m_g, it_g = solve_power(
+        ct, ps, Vd, high_G, loop_G, G0, 1.0,
+        jnp.zeros(n_atom + 2), jnp.asarray(atom_elem),
+    )
+    I_b, pw_b, m_b, it_b = solve_power(
+        ct, ps, Vd, high_G, loop_G, G0, 1.0,
+        jnp.zeros(n_atom + 2), jnp.asarray(atom_elem),
+        band=bk, band_meta=meta, cvac=cvac, nn_dist=p.nn_dist,
+        lattice=lattice, pbc=False,
+    )
+    assert int(it_b) < 10000
+    np.testing.assert_allclose(float(I_b), float(I_g), rtol=1e-5)
+    # m on physically-determined rows (cf. test_cg_solve_vs_dense_lu)
+    d = np.concatenate(
+        [[float(ps.diag0), float(ps.diag1)], np.asarray(ps.diag)[:-1]]
+    )
+    strong = d > 1e-3 * high_G
+    np.testing.assert_allclose(
+        np.asarray(m_b)[: n_atom + 1][strong],
+        np.asarray(m_g)[: n_atom + 1][strong],
+        rtol=1e-6, atol=1e-7,
+    )
+    # grounded atom stays exactly zero through the identity-row trick
+    assert float(m_b[-1]) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(pw_b), np.asarray(pw_g), rtol=1e-5, atol=1e-30
+    )
