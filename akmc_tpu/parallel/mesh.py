@@ -31,8 +31,69 @@ SITE_AXIS = "sites"
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"mesh needs {n_devices} devices, only {len(devs)} visible "
+                "(on CPU set XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (SITE_AXIS,))
+
+
+def pad_lattice(lat, multiple: int, pad_element: Optional[int] = None,
+                pad_layer: Optional[int] = None):
+    """Pad the site axis with far-away, isolated, inert sites so rows shard
+    evenly over a ``multiple``-device mesh. Returns ``(lat_padded, n_real)``.
+
+    Pad sites are metal (default Ti): outside the active event species set
+    (so they carry exactly-zero rates forever), possibly-charged never (no
+    neighbors), absent from every adjacency/cutoff table (all -1 rows) and
+    placed ~1e6 Angstrom away. The reference's row decomposition has the
+    same need met by hand-chosen rank counts (KMC_comm.h:245-290 divides
+    N by comm size with remainder ranks); TPU meshes want equal shards.
+    """
+    from akmc_tpu.lattice import ELEM, Lattice
+
+    n = lat.N
+    pad = (-n) % multiple
+    if pad == 0:
+        return lat, n
+    if pad_element is None:
+        pad_element = int(ELEM.Ti)
+    if pad_layer is None:
+        pad_layer = int(np.max(lat.site_layer))
+    far = 1e6 + np.arange(pad) * 1e3
+    lat2 = Lattice(
+        element0=np.concatenate(
+            [lat.element0, np.full(pad, pad_element, np.int32)]
+        ),
+        x=np.concatenate([lat.x, far]),
+        y=np.concatenate([lat.y, np.zeros(pad)]),
+        z=np.concatenate([lat.z, np.zeros(pad)]),
+        lattice=lat.lattice,
+        pbc=lat.pbc,
+        nn_dist=lat.nn_dist,
+        neigh_idx=np.concatenate(
+            [lat.neigh_idx,
+             np.full((pad, lat.neigh_idx.shape[1]), -1, np.int32)]
+        ),
+        k_neigh_idx=np.concatenate(
+            [lat.k_neigh_idx,
+             np.full((pad, lat.k_neigh_idx.shape[1]), -1, np.int32)]
+        ),
+        cutoff_idx=np.concatenate(
+            [lat.cutoff_idx,
+             np.full((pad, lat.cutoff_idx.shape[1]), -1, np.int32)]
+        ),
+        site_layer=np.concatenate(
+            [lat.site_layer, np.full(pad, pad_layer, np.int32)]
+        ),
+        # padding breaks the grid-native slot enumeration (analytic DIA
+        # builders assume exact nx*2*n_yz^2 layout) — drop the descriptor;
+        # the banded/ELL operators handle the padded rows
+        grid=None,
+    )
+    return lat2, n
 
 
 def row_sharding(mesh: Mesh) -> NamedSharding:

@@ -103,6 +103,7 @@ def run(
     dia_pallas: bool = False,
     wkb_f32: bool = False,
     warmup: bool = False,
+    devices: int = 0,
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
 
@@ -158,6 +159,26 @@ def run(
         from akmc_tpu.models.crossbar import mask_null_slots
 
         mask_null_slots(lat)
+
+    # --devices N: run the deck sharded over an N-device 1-D `sites` mesh
+    # (the reference binary is born distributed — `mpirun runKMC`, MPI init
+    # + per-rank device select, kmc_main.cpp:56-101, KMC_comm :165-171).
+    # Pair/event tables row-shard, field vectors replicate, CG dots psum
+    # over ICI (parallel/mesh.py). Pads the site axis with inert sites when
+    # N %% devices != 0 (none needed for the shipped decks on 2/3/5/6-way
+    # meshes: 37,650 = 2*3*5^2*251).
+    n_real = lat.N
+    if devices and devices > 1:
+        if concern_split is not None:
+            raise ValueError("--devices and --concern-split are exclusive")
+        from akmc_tpu.parallel.mesh import pad_lattice
+
+        if lat.N % devices:
+            lat, n_real = pad_lattice(lat, devices)
+            out.write(
+                f"Mesh padding: {lat.N - n_real} inert site(s) appended "
+                f"(site axis {lat.N} over {devices} devices)\n"
+            )
     if rate_normalize is None:
         # the emulated f64 on this TPU runtime carries only the f32 exponent
         # range; absolute rates freq*exp(-EA/kT) overflow it at high bias
@@ -168,8 +189,23 @@ def run(
     model = VCMModel(
         p, lat, rate_normalize=rate_normalize, pair_f32=pair_f32,
         dia_stacked=dia_stacked, dia_pallas=dia_pallas, wkb_f32=wkb_f32,
+        act_pad=256 * (devices if devices and devices > 1 else 1),
     )
     state = make_device_state(lat, p.background_temp)
+    if devices and devices > 1:
+        from akmc_tpu.parallel.mesh import (
+            make_mesh,
+            replicate_state,
+            shard_model,
+        )
+
+        mesh = make_mesh(devices)
+        shard_model(model, mesh)
+        state = replicate_state(state, mesh)
+        out.write(
+            f"Device mesh: {devices} device(s) over the `sites` axis "
+            f"(N={lat.N}, row-sharded tables, replicated fields)\n"
+        )
     kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
     batch_key = jax.random.PRNGKey(p.rnd_seed_kmc) if batched_events else None
 
@@ -214,6 +250,7 @@ def run(
     from akmc_tpu.lattice import ELEM as _ELEM
 
     snap_sel = np.asarray(lat.element0) != int(_ELEM.NULL_ELEMENT)
+    snap_sel[n_real:] = False   # mesh-padding sites are not atoms either
     if snap_sel.all():
         snap_sel = slice(None)
 
@@ -521,6 +558,14 @@ def main():
              "f64 stays the default/oracle path)",
     )
     ap.add_argument(
+        "--devices", type=int, default=0, metavar="N",
+        help="run the deck sharded over an N-device 1-D `sites` mesh "
+             "(row-sharded pair/event tables, replicated field vectors, "
+             "psum CG dots — the reference's `mpirun runKMC` row "
+             "decomposition, kmc_main.cpp:56-101). Pads the site axis "
+             "with inert sites when N_sites %% N != 0.",
+    )
+    ap.add_argument(
         "--concern-split", default=None, metavar="K:P",
         help="task-split the K and pairwise solves over disjoint device "
              "groups in ratio K:P (reference split=true, KMC_comm.h:132-223; "
@@ -551,6 +596,7 @@ def main():
         dia_pallas=args.dia_pallas,
         wkb_f32=args.wkb_f32,
         warmup=args.warmup,
+        devices=args.devices,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 

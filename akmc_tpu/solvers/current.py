@@ -60,7 +60,13 @@ class CurrentTables(NamedTuple):
     atom_neigh_idx: jax.Array  # (N_atom, NNa) atom-index adjacency, -1 pad
     atom_is_metal: jax.Array   # (N_atom,) bool
     metal_p: jax.Array         # (N_atom,) bool: metal in the tunnel window
-    contact_idx: jax.Array     # (NC,) atom indices of metal_p contacts (static)
+    contact_idx: jax.Array     # (NCp,) atom indices of metal_p contacts,
+    #                            padded to a 256-multiple with -1 so the
+    #                            W_cc/W_ct tunnel blocks row-shard evenly
+    #                            over device meshes (same policy as vmax;
+    #                            pad rows are exact zeros via the contact
+    #                            mask and scatter to index -1, a no-op add
+    #                            of 0.0)
     inj_tie: jax.Array         # (N_atom,) bool: tied to injection node
     ext_tie: jax.Array         # (N_atom,) bool: tied to extraction node
     n_inj: int
@@ -113,13 +119,17 @@ def build_current_tables(
     # (create_X, current_solver_gpu.cu:2306)
     ext_tie = ai > (n_atom - num_ground_ext)
 
+    cidx = np.nonzero(metal_p)[0].astype(np.int32)
+    ncp = max(256, -(-len(cidx) // 256) * 256)
+    cidx = np.concatenate([cidx, np.full(ncp - len(cidx), -1, np.int32)])
+
     return CurrentTables(
         atom_ind=jnp.asarray(atom_ind),
         atom_pos=jnp.asarray(apos, jnp.float64),
         atom_neigh_idx=jnp.asarray(a_nbr),
         atom_is_metal=jnp.asarray(am),
         metal_p=jnp.asarray(metal_p),
-        contact_idx=jnp.asarray(np.nonzero(metal_p)[0].astype(np.int32)),
+        contact_idx=jnp.asarray(cidx),
         inj_tie=jnp.asarray(inj_tie),
         ext_tie=jnp.asarray(ext_tie),
         n_inj=int(inj_tie.sum()),
@@ -165,8 +175,11 @@ def _wkb_single(dist_m, dE_abs, m_e, V0, f32: bool = False):
     # f32 results stay f32: the W blocks are also STORED in f32 under the
     # lever (halves HBM traffic and skips the X64-rewrite's extra in-program
     # f64 half-copies — W_tt at 15k vacancies: ~5.3 GB -> ~0.9 GB);
-    # downstream matvecs promote to f64 on multiply with the f64 vectors
-    return jnp.where(E2 > 0, jnp.exp(expo_trap), jnp.exp(expo_tri))
+    # downstream matvecs promote to f64 on multiply with the f64 vectors.
+    # select-then-exp: bit-identical to exp-then-select and evaluates ONE
+    # exp per pair instead of two (the emulated dd-f64 exp is the dominant
+    # per-pair cost)
+    return jnp.exp(jnp.where(E2 > 0, expo_trap, expo_tri))
 
 
 def _wkb_contact_trap(dist_m, dE_abs, m_e, V0, ne_max, mask=None, f32: bool = False):
@@ -201,6 +214,11 @@ def _wkb_contact_trap(dist_m, dE_abs, m_e, V0, ne_max, mask=None, f32: bool = Fa
         dist_m = dist_m.astype(jnp.float32)
         dE_abs = dE_abs.astype(jnp.float32)
 
+    # loop-invariant per-pair factors, hoisted out of the energy loop
+    # (bit-identical: same association order as the inline forms)
+    q_tri = prefac * (dist_m / dE_abs)
+    q_trap = (prefac * dist_m) if f32 else q_tri
+
     def body(s, carry):
         acc, comp = carry
         iv = s * dE_step
@@ -210,16 +228,17 @@ def _wkb_contact_trap(dist_m, dE_abs, m_e, V0, ne_max, mask=None, f32: bool = Fa
         if f32:
             # cancellation-free (see _wkb_single): dE divides out exactly
             E2p = jnp.maximum(E2, 0.0)
-            expo_trap = prefac * dist_m * (
+            expo_trap = q_trap * (
                 (E1 + jnp.sqrt(E1 * E2p) + E2p)
                 / (jnp.sqrt(E1) + jnp.sqrt(E2p))
             )
         else:
-            expo_trap = prefac * (dist_m / dE_abs) * (
+            expo_trap = q_trap * (
                 E1**1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5
             )
-        expo_tri = prefac * (dist_m / dE_abs) * E1**1.5
-        term = jnp.where(E2 > 0, jnp.exp(expo_trap), jnp.exp(expo_tri))
+        expo_tri = q_tri * E1**1.5
+        # select-then-exp: one emulated exp per pair per step, not two
+        term = jnp.exp(jnp.where(E2 > 0, expo_trap, expo_tri))
         term = jnp.where(active, term, 0.0)
         if not f32:
             return acc + term, comp
@@ -365,6 +384,38 @@ def build_power_system(
                 pos_a, pos_b, cb_a, cb_b, mask_a, mask_b, idx_a, idx_b,
                 integrate,
             )
+        if integrate:
+            # COLUMN-chunked (over the trap axis): each chunk's energy
+            # integration bound (_ct_loop_bound inside the direct builder)
+            # adapts to its own pairs' window spread — contiguous site-order
+            # columns span a narrow cb_edge range, and the all-pad tail
+            # chunks (vmax headroom above the live vacancy count) collapse
+            # to one iteration instead of burning the global max bound.
+            # Entries are BIT-IDENTICAL to the direct form (per-element
+            # math unchanged; truncated terms are masked exact zeros) —
+            # pinned by test_wkb_chunked_build_matches_direct. Reference
+            # analogue: the per-pair energy windows of create_X's
+            # contact_to_trap loop (current_solver_gpu.cu:2229-2256).
+            pad = (-cols) % B
+            padded = (
+                jnp.concatenate([pos_b, jnp.zeros((pad, 3), pos_b.dtype)]),
+                jnp.concatenate([cb_b, jnp.zeros(pad, cb_b.dtype)]),
+                jnp.concatenate([mask_b, jnp.zeros(pad, bool)]),
+                jnp.concatenate([idx_b, jnp.full(pad, -2, idx_b.dtype)]),
+            )
+            nb = (cols + pad) // B
+            chunks = tuple(
+                a.reshape((nb, B) + a.shape[1:]) for a in padded
+            )
+
+            def one_cols(chunk):
+                cpos, ccb, cmask, cidx = chunk
+                return wkb_block_direct(
+                    pos_a, cpos, cb_a, ccb, mask_a, cmask, idx_a, cidx, True
+                )
+
+            out = jax.lax.map(one_cols, chunks)        # (nb, rows, B)
+            return out.transpose(1, 0, 2).reshape(rows, nb * B)[:, :cols]
         pad = (-rows) % B
         padded = (
             jnp.concatenate([pos_a, jnp.zeros((pad, 3), pos_a.dtype)]),
@@ -384,7 +435,7 @@ def build_power_system(
         out = jax.lax.map(one, chunks)
         return out.reshape(nb * B, cols)[:rows]
 
-    ones_c = jnp.ones(cidx.shape[0], bool)
+    ones_c = cidx >= 0   # contact mask (pad slots carry exact-zero rows)
     W_tt = wkb_block(pos_v, pos_v, cb[vi], cb[vi], vv, vv, vac_idx, vac_idx, False)
     W_cc = wkb_block(pos_c, pos_c, cb[cidx], cb[cidx], ones_c, ones_c, cidx, cidx, False)
     W_ct = wkb_block(pos_c, pos_v, cb[cidx], cb[vi], ones_c, vv, cidx, vac_idx, True)

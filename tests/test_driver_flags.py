@@ -264,3 +264,47 @@ def test_warmup_flag(tmp_path, monkeypatch):
         if l.startswith("KMC time is:")
     ]
     assert w1 == w2
+
+
+def test_devices_mesh_driver(tmp_path, monkeypatch):
+    """--devices N: the production driver runs the deck sharded over an
+    N-device `sites` mesh (the reference binary is born distributed —
+    `mpirun runKMC`, kmc_main.cpp:56-101) and reproduces the single-device
+    event trajectory element-for-element, including when the site count
+    does not divide the mesh (inert-site padding)."""
+    from akmc_tpu.lattice import read_xyz
+    from akmc_tpu.runtime import driver
+
+    deck, p = _write_toy_deck(tmp_path)
+    _patch_layers(monkeypatch, p)
+    s1 = driver.run(
+        str(deck), workdir=str(tmp_path / "d1"), max_supersteps=3, log=False,
+    )
+    # N = toy site count is odd-shaped: 4-way forces the padding path
+    s4 = driver.run(
+        str(deck), workdir=str(tmp_path / "d4"), max_supersteps=3, log=False,
+        devices=4,
+    )
+    assert s1["total_steps"] == s4["total_steps"]
+    out4 = open(tmp_path / "d4" / "output1_0.txt").read()
+    assert "Device mesh: 4 device(s)" in out4
+    t1 = [
+        float(m)
+        for m in re.findall(
+            r"KMC time is: ([\d.eE+-]+)",
+            open(tmp_path / "d1" / "output1_0.txt").read(),
+        )
+    ]
+    t4 = [float(m) for m in re.findall(r"KMC time is: ([\d.eE+-]+)", out4)]
+    # waiting times drift in the last ulps (padding changes the total-rate
+    # reduction tree; same accepted class as the TPU golden drift) — the
+    # EVENT SEQUENCE (elements below) is the exact invariant
+    np.testing.assert_allclose(t1, t4, rtol=1e-4)
+    # final snapshots element-identical; padded sites excluded
+    f1 = sorted((tmp_path / "d1" / "Results_2.000000").glob("snapshot_*.xyz"))
+    f4 = sorted((tmp_path / "d4" / "Results_2.000000").glob("snapshot_*.xyz"))
+    assert [f.name for f in f1] == [f.name for f in f4]
+    e1, x1, *_ = read_xyz(str(f1[-1]))
+    e4, x4, *_ = read_xyz(str(f4[-1]))
+    np.testing.assert_array_equal(e1, e4)
+    np.testing.assert_array_equal(x1, x4)

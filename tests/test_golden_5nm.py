@@ -59,3 +59,40 @@ def test_golden_5nm_trajectory(ref_5nm_dir, tmp_path):
     # (exact, matching the documented invariant; KMC times above keep an
     # rtol for TPU fp-reassociation drift only)
     np.testing.assert_array_equal(got_e, want_e)
+
+
+@pytest.mark.slow
+def test_golden_5nm_trajectory_devices6(ref_5nm_dir, tmp_path):
+    """The same golden gate through the driver's --devices mesh path:
+    6 devices divide N=37,650 exactly (no padding), pair/event tables
+    row-shard, CG dots psum — the event sequence and the final snapshot
+    must stay identical to the reference's expected output (the sharded
+    trajectory-equality invariant, tests/test_sharding.py, at full deck
+    scale through the production entry point)."""
+    from akmc_tpu.runtime.driver import run
+
+    run(
+        os.path.join(ref_5nm_dir, "parameters.txt"),
+        workdir=str(tmp_path),
+        cache_dir=os.environ.get("AKMC_CACHE", "/root/repo/.cache"),
+        log=False,
+        devices=6,
+    )
+    out = open(os.path.join(tmp_path, "output1_0.txt")).read()
+    assert "Device mesh: 6 device(s)" in out
+    assert "Mesh padding" not in out
+    times = [float(m) for m in re.findall(r"KMC time is: ([\d.eE+-]+)", out)]
+    assert len(times) == len(GOLDEN_TIMES)
+    np.testing.assert_allclose(times, GOLDEN_TIMES, rtol=2e-3)
+
+    from akmc_tpu.lattice import read_xyz
+
+    got_e, *_ = read_xyz(
+        os.path.join(tmp_path, "Results_5.000000", "snapshot_6.xyz")
+    )
+    want_e, *_ = read_xyz(
+        os.path.join(
+            ref_5nm_dir, "expected_output", "Results_5.000000", "snapshot_6.xyz"
+        )
+    )
+    np.testing.assert_array_equal(got_e, want_e)
