@@ -568,6 +568,16 @@ def solve_power(
     nn_dist: float = 0.0,
     lattice=None,
     pbc: bool = False,
+    rtol_scale=1.0,                 # traced multiplier on the relative
+    #                                 tolerance: the low-bias I-V points are
+    #                                 a sub-nA cancellation of large virtual
+    #                                 potentials, so callers tighten the
+    #                                 solve where |I_macro| would otherwise
+    #                                 sit below kappa*rtol resolution (the
+    #                                 reference's own T-solve pins these
+    #                                 with an absolute 1e-30*N_atom
+    #                                 residual, current_solver_gpu.cu:
+    #                                 1455-1456)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Solve X m = b, return (I_macro [A], atom_power (N_atom,) [W],
     m (N_atom+2) unscaled, cg_iters).
@@ -646,7 +656,7 @@ def solve_power(
             [m_prev[:2], jnp.where(gmask, m_prev[2:][perm], 0.0)]
         )
         res = jacobi_cg(
-            A, b, x0, inv_diag, rtol_coeff * n_atom, max_iterations,
+            A, b, x0, inv_diag, rtol_coeff * n_atom * rtol_scale, max_iterations,
             dot_fn=f64_vdot,
         )
         m = jnp.concatenate([res.x[:2], res.x[2:][invp]])
@@ -669,7 +679,7 @@ def solve_power(
         # path); the mul+reduce dot avoids the f64 jnp.dot pathology measured
         # at multi-100k n (tools/probe_vec_ops.py)
         res = jacobi_cg(
-            A, b, x0, inv_diag, rtol_coeff * n_atom, max_iterations,
+            A, b, x0, inv_diag, rtol_coeff * n_atom * rtol_scale, max_iterations,
             dot_fn=f64_vdot,
         )
 

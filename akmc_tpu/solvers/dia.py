@@ -206,6 +206,53 @@ def dia_combined_matvec_stacked(
     return y, yv
 
 
+def dia_combined_matvec_shared(
+    diags_cvac: jnp.ndarray, dia: DiaK, meta: DiaMeta, x: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(W @ x, adjacency @ (cvac * x)) from ONE padded x buffer.
+
+    ``diags_cvac``: per-solve (D, N) int8 codes with the conductive-vacancy
+    SOURCE mask folded in: diags_cvac[d, i] = diags[d, i] if cvac[i + o_d]
+    else 0 (built once per solve by ``fold_cvac_codes``). The correction
+    matvec then reads the SAME shifted x windows as the K matvec instead of
+    a second padded cvac-masked buffer — per CG iteration this removes one
+    full-N buffer write and D full-N window reads (~half the stream traffic
+    of dia_combined_matvec; the masked entries are exact zeros either way,
+    so results are bit-identical to the two-buffer form:
+    tests/test_dia.py::test_shared_matvec_matches_combined)."""
+    n = x.shape[0]
+    maxo = max(abs(o) for o in meta.offsets)
+    xp = jnp.zeros(n + 2 * maxo, x.dtype).at[maxo : maxo + n].set(x)
+    y = jnp.zeros_like(x)
+    yv = jnp.zeros_like(x)
+    for d, o in enumerate(meta.offsets):
+        c = dia.diags[d]
+        bf = jnp.where(
+            c == 2, meta.val_high, jnp.where(c == 1, meta.val_low, 0.0)
+        )
+        w = jax.lax.dynamic_slice(xp, (maxo + o,), (n,))
+        y = y + bf * w
+        yv = yv + jnp.where(diags_cvac[d] != 0, w, 0.0)
+    return y, yv
+
+
+def fold_cvac_codes(dia: DiaK, meta: DiaMeta, cvac: jnp.ndarray) -> jnp.ndarray:
+    """Once-per-solve (D, N) int8: the adjacency codes with the dynamic
+    conductive-vacancy mask applied at the SOURCE column (j = i + o_d) —
+    the companion of dia_combined_matvec_shared."""
+    n = cvac.shape[0]
+    maxo = max(abs(o) for o in meta.offsets)
+    cp = jnp.zeros(n + 2 * maxo, jnp.int8).at[maxo : maxo + n].set(
+        cvac.astype(jnp.int8)
+    )
+    rows = [
+        (dia.diags[d] != 0).astype(jnp.int8)
+        * jax.lax.dynamic_slice(cp, (maxo + o,), (n,))
+        for d, o in enumerate(meta.offsets)
+    ]
+    return jnp.stack(rows)
+
+
 def dia_adj_matvec(dia: DiaK, meta: DiaMeta, x: jnp.ndarray) -> jnp.ndarray:
     """y_i = sum over K-adjacency edges (i, i+o_d) of x[i+o_d] — the same
     shift pass as dia_matvec with 0/1 edge weights (select, no multiply)."""
@@ -273,14 +320,33 @@ def solve_potential_boundary_dia(
     elif stacked:
         mv_fn = dia_combined_matvec_stacked
     else:
-        mv_fn = dia_combined_matvec
+        mv_fn = None   # default: the shared-buffer form below
 
-    def A(x):
-        xz = jnp.where(is_int, x, 0.0)
-        xv = jnp.where(cvac, xz, 0.0)
-        mv, corr = mv_fn(dia, meta, xz, xv)
-        y = diag * xz - mv - dG * jnp.where(cvac, corr, 0.0)
-        return jnp.where(is_int, y, x)
+    # Per-solve precomputations that strip full-N elementwise work out of
+    # the CG body (the measured ~11 ms/iter of masks/diag at the 4.62M
+    # crossbar, tools/probe_cg_phase.py): CG keeps every iterate EXACTLY
+    # zero outside the interior (x0/rhs are masked, A passes exterior rows
+    # through, 0 * scalar == 0), so the per-iteration input masks are
+    # identities and can be dropped; the interior/diag/cvac selects fold
+    # into precomputed vectors and (for the default path) into the int8
+    # codes the matvec already streams.
+    diag_i = jnp.where(is_int, diag, 1.0)
+    dgc = jnp.where(cvac, dG, 0.0)
+    if mv_fn is None:
+        # source-side cvac & interior mask folded into once-per-solve codes:
+        # the correction matvec then shares the K matvec's padded x buffer
+        dcodes = fold_cvac_codes(dia, meta, cvac & is_int)
+
+        def A(x):
+            mv, corr = dia_combined_matvec_shared(dcodes, dia, meta, x)
+            y = diag_i * x - mv - dgc * corr
+            return jnp.where(is_int, y, x)
+    else:
+        def A(x):
+            xv = jnp.where(cvac, x, 0.0)
+            mv, corr = mv_fn(dia, meta, x, xv)
+            y = diag_i * x - mv - dgc * corr
+            return jnp.where(is_int, y, x)
 
     x0 = jnp.where(is_int, potential_boundary_prev, 0.0)
     inv_diag = jnp.where(is_int, 1.0 / jnp.where(is_int, diag, 1.0), 1.0)

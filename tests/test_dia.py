@@ -146,3 +146,38 @@ def test_stacked_matvec_matches_loop(grid):
     np.testing.assert_allclose(
         pb2, pb1, rtol=1e-8, atol=1e-9 * max(1.0, np.abs(pb1).max())
     )
+
+
+def test_shared_matvec_matches_combined(grid):
+    """dia_combined_matvec_shared + fold_cvac_codes is BIT-IDENTICAL to the
+    two-buffer dia_combined_matvec on CG-shaped inputs (xv = cvac-masked x):
+    same per-offset accumulation order, and the source-mask fold only
+    replaces multiplications by exact zeros. This is the default K-CG form
+    (one padded buffer, D fewer full-N window reads per iteration)."""
+    import jax.numpy as jnp
+
+    from akmc_tpu.lattice import metal_mask
+    from akmc_tpu.solvers.dia import (
+        build_dia_k,
+        dia_combined_matvec,
+        dia_combined_matvec_shared,
+        fold_cvac_codes,
+    )
+
+    p, lat = grid
+    pos = np.stack([lat.x, lat.y, lat.z], 1)
+    is_metal = metal_mask(lat.element0, p.metals)
+    dia, meta = build_dia_k(
+        pos, lat.k_neigh_idx, is_metal, p.num_atoms_first_layer,
+        p.high_G, p.low_G,
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(lat.N))
+    cvac = jnp.asarray(rng.random(lat.N) < 0.3)
+    xv = jnp.where(cvac, x, 0.0)
+
+    y1, v1 = dia_combined_matvec(dia, meta, x, xv)
+    dcodes = fold_cvac_codes(dia, meta, cvac)
+    y2, v2 = dia_combined_matvec_shared(dcodes, dia, meta, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
