@@ -1078,7 +1078,7 @@ class VCMModel:
 
     def superstep_native_batched(
         self, state: DeviceState, Vd: float, key, batch: int = 64,
-        mass_eps: float = 1e-3,
+        mass_eps: float = 1e-3, clock_f32: bool = False,
     ) -> Tuple[DeviceState, dict, jax.Array]:
         """Production superstep with the multi-event batched loop
         (ops/events.py::run_event_loop_batched): per-batch exponential-race
@@ -1092,7 +1092,7 @@ class VCMModel:
         trades gap-law exactness for batch amortization) is a TRACED
         argument: changing it reuses the compiled executable."""
         key_in = key
-        fr, res, diag, key = self._get_batched_jit(batch)(
+        fr, res, diag, key = self._get_batched_jit(batch, clock_f32)(
             self.tables, self.kop, state.element, state.charge,
             state.potential_boundary, state.T_bg, Vd,
             float(mass_eps), key,
@@ -1107,7 +1107,7 @@ class VCMModel:
                 self.pair_cand_cap *= 2
             self._invalidate_jits()
             return self.superstep_native_batched(
-                state, Vd, key_in, batch, mass_eps
+                state, Vd, key_in, batch, mass_eps, clock_f32
             )
         new_state = state._replace(
             element=res.element,
@@ -1126,7 +1126,7 @@ class VCMModel:
         }
         return new_state, stats, key
 
-    def _get_batched_jit(self, batch: int):
+    def _get_batched_jit(self, batch: int, clock_f32: bool = False):
         """Build (and cache) the batched-loop executable for a batch size —
         shared by superstep_native_batched and warmup so the AOT warmup
         compiles the SAME executable the run uses. mass_eps is a traced
@@ -1135,7 +1135,7 @@ class VCMModel:
 
         if not hasattr(self, "_step_batched_jits"):
             self._step_batched_jits = {}
-        bkey = batch
+        bkey = (batch, clock_f32)
         if bkey not in self._step_batched_jits:
             def _step_b(t, bk, element, charge, pb_prev, T_bg, Vd,
                         mass_eps, key):
@@ -1146,6 +1146,7 @@ class VCMModel:
                     element, fr.charge, P, etype, neigh, sub,
                     self.params.freq, batch=batch, act_idx=t.act_idx,
                     abs2act=t.abs2act, ln_S=fr.ln_S, mass_eps=mass_eps,
+                    clock_f32=clock_f32,
                 )
                 c_ovf = (
                     jnp.asarray(0.0)
@@ -1176,6 +1177,7 @@ class VCMModel:
         full_physics: bool = False,
         batched: int = 0,
         batched_mass_eps: float = 1e-3,
+        batched_clock_f32: bool = False,
     ) -> dict:
         """AOT-compile every executable the run will need BEFORE the first
         superstep (jit.lower().compile()), so the first superstep pays only
@@ -1231,7 +1233,8 @@ class VCMModel:
                 steps_per_dispatch, multi_rand_chunk,
             ))
         if batched:
-            _c(f"batched_B{batched}", self._get_batched_jit(batched).lower(
+            _c(f"batched_B{batched}", self._get_batched_jit(
+                batched, batched_clock_f32).lower(
                 t, self.kop, state.element, state.charge,
                 state.potential_boundary, state.T_bg, float(Vd),
                 float(batched_mass_eps), jax.random.PRNGKey(0),

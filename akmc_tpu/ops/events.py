@@ -533,6 +533,7 @@ def run_event_loop_batched(
     abs2act: jnp.ndarray = None,
     ln_S=None,
     mass_eps: float = 1e-3,
+    clock_f32: bool = False,
 ) -> BatchedLoopResult:
     """Multi-event batches via the exponential-race (next-reaction)
     formulation of the residence-time algorithm — the crossbar-scale
@@ -591,8 +592,20 @@ def run_event_loop_batched(
         # R~ = R/S with ln S carried: tau~ = tau*S keeps every clock in the
         # emulated-f64 exponent range (R~ <= NN); gaps are rescaled by S in
         # log space only at the termination test.
-        u = jax.random.uniform(k_clk, (n,), dtype=P.dtype)
-        tau = -jnp.log(u) / R                  # inf on zero-rate rows
+        # clock_f32: draw/transform the full-N clock vector in f32 — the
+        # dd-f64 log over every row was 41% of the measured per-batch cost
+        # at the 4.6M crossbar (tools/probe_batched_phase.py). The race is
+        # exact-in-law up to f32 rounding: selection uses the order of the
+        # realized taus, and the accepted gaps carry ~1e-6 relative
+        # rounding noise (order-statistic spacing ~ tau/k at k <= B) —
+        # orders below the mode's own mass_eps waiting-time budget.
+        # Production flag (not reference-stream parity either way).
+        if clock_f32:
+            u = jax.random.uniform(k_clk, (n,), dtype=jnp.float32)
+            tau = -jnp.log(u) / R.astype(jnp.float32)
+        else:
+            u = jax.random.uniform(k_clk, (n,), dtype=P.dtype)
+            tau = -jnp.log(u) / R              # inf on zero-rate rows
         total = jnp.sum(R)
         ok = total > 0.0
 
@@ -682,7 +695,12 @@ def run_event_loop_batched(
         if ln_S is None:
             big = gaps >= inv_freq
         else:
-            big = jnp.log(jnp.maximum(gaps, 1e-300)) - ln_S >= jnp.log(inv_freq)
+            # f64 log-space regardless of the clock dtype (1e-300 would
+            # underflow an f32 guard; ln_S is f64)
+            big = (
+                jnp.log(jnp.maximum(gaps.astype(jnp.float64), 1e-300)) - ln_S
+                >= jnp.log(inv_freq)
+            )
         first_big = jnp.argmax(big & acc_prefix)
         has_big = jnp.any(big & acc_prefix)
         accept = acc_prefix & (
@@ -743,7 +761,9 @@ def run_event_loop_batched(
         # event_time: the terminating gap (committed semantics return only
         # the loop-breaking waiting time); in shifted mode rescale by S in
         # log space
-        last_gap = gaps[jnp.where(has_big, first_big, B - 1)]
+        last_gap = gaps[jnp.where(has_big, first_big, B - 1)].astype(
+            jnp.float64
+        )
         if ln_S is None:
             t_out = last_gap
         else:

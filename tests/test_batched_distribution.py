@@ -55,7 +55,8 @@ def frozen_tables():
     return model, state, fr, P, etype, neigh
 
 
-def _sample(frozen, kind, mass_eps=1e-3, n_rep=N_REP, seed=0):
+def _sample(frozen, kind, mass_eps=1e-3, n_rep=N_REP, seed=0,
+            clock_f32=False):
     model, state, fr, P, etype, neigh = frozen
     t = model.tables
     freq = model.params.freq
@@ -72,7 +73,7 @@ def _sample(frozen, kind, mass_eps=1e-3, n_rep=N_REP, seed=0):
             res = run_event_loop_batched(
                 state.element, fr.charge, P, etype, neigh, key, freq,
                 batch=16, act_idx=t.act_idx, abs2act=t.abs2act,
-                ln_S=fr.ln_S, mass_eps=mass_eps,
+                ln_S=fr.ln_S, mass_eps=mass_eps, clock_f32=clock_f32,
             )
             return res.event_time, res.n_events
 
@@ -130,3 +131,22 @@ def test_batched_self_consistency_across_batch_size(frozen_tables):
     t16 = np.asarray(jax.jit(jax.vmap(lambda k: one(16, k)))(k2))
     d = ks_2samp(t4, t16).statistic
     assert d < KS_CRIT, f"B=4 vs B=16 KS D={d:.4f} >= {KS_CRIT:.4f}"
+
+
+def test_waiting_time_ks_clock_f32(frozen_tables):
+    """clock_f32 (the production lever killing the full-N dd-f64 log —
+    41% of the per-batch cost at the 4.6M crossbar): the race is
+    exact-in-law up to f32 rounding, so both observables must remain
+    indistinguishable from the serial f64 law."""
+    t_ser, c_ser = _sample(frozen_tables, "serial", seed=11)
+    t_bat, c_bat = _sample(
+        frozen_tables, "batched", mass_eps=1e-3, seed=12, clock_f32=True
+    )
+    d_time = ks_2samp(t_ser, t_bat).statistic
+    assert d_time < KS_CRIT, f"waiting-time KS D={d_time:.4f} >= {KS_CRIT:.4f}"
+    d_cnt = ks_2samp(c_ser, c_bat).statistic
+    assert d_cnt < KS_CRIT, f"event-count KS D={d_cnt:.4f} >= {KS_CRIT:.4f}"
+    se = np.hypot(
+        c_ser.std() / np.sqrt(len(c_ser)), c_bat.std() / np.sqrt(len(c_bat))
+    )
+    assert abs(c_ser.mean() - c_bat.mean()) < 4.0 * se + 1e-12

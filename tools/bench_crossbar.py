@@ -69,6 +69,7 @@ def main():
     Vd = 15.0   # 40 nm deck bias
     batched = 0
     mass_eps = 1e-3
+    clock_f32 = "--clock-f32" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--batched"):
             batched = int(a.split("=")[1]) if "=" in a else 64
@@ -81,7 +82,8 @@ def main():
     # the first superstep pays only the cold zero-guess CG. Persistent
     # cache makes later runs at this scale skip compiles entirely.
     t0 = time.perf_counter()
-    compile_s = model.warmup(state, Vd, batched=batched)
+    compile_s = model.warmup(state, Vd, batched=batched,
+                             batched_clock_f32=clock_f32)
     t_warm = time.perf_counter() - t0
     print(f"[warmup] {t_warm:.1f}s compiles: "
           + ", ".join(f"{k}={v:.0f}s" for k, v in compile_s.items()),
@@ -105,7 +107,8 @@ def main():
         t0 = time.perf_counter()
         if batched:
             state, stats, key = model.superstep_native_batched(
-                state, Vd, key, batch=batched, mass_eps=mass_eps
+                state, Vd, key, batch=batched, mass_eps=mass_eps,
+                clock_f32=clock_f32,
             )
         else:
             state, stats = model.superstep(state, Vd, stream)

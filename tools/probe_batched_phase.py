@@ -3,7 +3,10 @@ VERDICT r4 weak #1: ~3 s of the 4.37 s crossbar superstep is unattributed
 (suspect: the ~1,000 batched-loop iterations at ~3-4 ms each).
 
 Phases, chained K batches in one jit (forced-pull brackets; per-dispatch
-overhead ~90 ms >> device work on this runtime):
+overhead ~90 ms >> device work on this runtime). Every big array is a jit
+ARGUMENT (closed-over constants bake into the HLO — the remote compiler
+rejects the multi-GB request with HTTP 413, and baked constants are ~600x
+slower per call anyway):
 
   clk    — per-row clocks: u ~ U(n), tau = -ln(u)/R, total = sum(R)
   +topk  — + _topk_smallest(tau, B) (two-stage block top-k)
@@ -53,98 +56,100 @@ def main():
     model = VCMModel(p, lat, rate_normalize=True, pair_f32=True)
     state = make_device_state(lat, p.background_temp)
     print(f"[build] N={lat.N} in {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
     Vd = 15.0
-    t = model.tables
 
     @jax.jit
-    def fields(element, charge, pb, T_bg):
-        fr = model._fields(t, model.kop, element, charge, pb, T_bg, Vd)
+    def fields(t, kop, element, charge, pb, T_bg):
+        fr = model._fields(t, kop, element, charge, pb, T_bg, Vd)
         P, etype, neigh, zrows = model._loop_arrays(t, fr.P, fr.etype)
         return P, etype, neigh, fr.ln_S, fr.charge
 
     t0 = time.perf_counter()
     P, etype, neigh, ln_S, charge = fields(
-        state.element, state.charge, state.potential_boundary, state.T_bg
+        model.tables, model.kop, state.element, state.charge,
+        state.potential_boundary, state.T_bg,
     )
     _ = float(jnp.sum(P[0]))
     print(f"[fields] {time.perf_counter()-t0:.1f}s P={P.shape}",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
     n, nn = P.shape
     R = jnp.sum(P, axis=1)
     element = state.element
-    act_idx, abs2act = t.act_idx, t.abs2act
+    act_idx, abs2act = model.tables.act_idx, model.tables.abs2act
 
     from akmc_tpu.ops.events import _topk_smallest, run_event_loop_batched
 
-    def bench(f, name, x0, per=K):
+    def bench(f, name, fargs, per=K):
         ts = []
+        key = jax.random.PRNGKey(42)
         for i in range(reps):
-            xi = jax.random.fold_in(x0, i)
+            ki = jax.random.fold_in(key, i)
             tt = time.perf_counter()
-            out = f(xi)
+            out = f(*fargs, ki)
             _ = float(np.asarray(out if not isinstance(out, tuple) else out[0]).ravel()[0])
             ts.append(time.perf_counter() - tt)
         med = sorted(ts)[len(ts) // 2]
         print(f"{name}: {med/per*1e3:7.2f} ms/batch  ("
-              + " ".join(f"{x*1e3:.0f}" for x in ts) + " ms)", file=sys.stderr)
+              + " ".join(f"{x*1e3:.0f}" for x in ts) + " ms)",
+              file=sys.stderr, flush=True)
         return med / per * 1e3
 
     # --- clk ---
-    def clk_chain(key0):
+    def clk_chain(P_, R_, key0):
         def body(i, c):
             key, acc = c
             key, k1 = jax.random.split(key)
-            u = jax.random.uniform(k1, (n,), dtype=P.dtype)
-            tau = -jnp.log(u) / R
-            total = jnp.sum(R)
-            return (key, acc + tau[0] * 0.0 + total * 0.0 + tau[i % n])
+            u = jax.random.uniform(k1, (n,), dtype=P_.dtype)
+            tau = -jnp.log(u) / R_
+            total = jnp.sum(R_)
+            return (key, acc + tau[i % n] + total * 0.0)
         _, acc = jax.lax.fori_loop(0, K, body, (key0, jnp.asarray(0.0)))
         return acc
 
     # --- clk + topk ---
-    def topk_chain(key0):
+    def topk_chain(P_, R_, key0):
         def body(i, c):
             key, acc = c
             key, k1 = jax.random.split(key)
-            u = jax.random.uniform(k1, (n,), dtype=P.dtype)
-            tau = -jnp.log(u) / R
-            total = jnp.sum(R)
+            u = jax.random.uniform(k1, (n,), dtype=P_.dtype)
+            tau = -jnp.log(u) / R_
+            total = jnp.sum(R_)
             tau_b, rows_b = _topk_smallest(tau, B)
             return (key, acc + tau_b[0] + rows_b[0] * 0.0 + total * 0.0)
         _, acc = jax.lax.fori_loop(0, K, body, (key0, jnp.asarray(0.0)))
         return acc
 
     # --- clk + topk + candidate/conflict/mass (no state writes) ---
-    def cand_chain(key0):
+    def cand_chain(P_, R_, neigh_, act_idx_, abs2act_, key0):
         def body(i, c):
             key, acc = c
             key, k1, k2 = jax.random.split(key, 3)
-            u = jax.random.uniform(k1, (n,), dtype=P.dtype)
-            tau = -jnp.log(u) / R
-            total = jnp.sum(R)
+            u = jax.random.uniform(k1, (n,), dtype=P_.dtype)
+            tau = -jnp.log(u) / R_
+            total = jnp.sum(R_)
             tau_b, rows_b = _topk_smallest(tau, B)
-            rows_P = P[rows_b]
+            rows_P = P_[rows_b]
             cumr = jnp.cumsum(rows_P, axis=1)
             rowtot = cumr[:, -1]
-            t_slot = jax.random.uniform(k2, (B,), dtype=P.dtype) * rowtot
+            t_slot = jax.random.uniform(k2, (B,), dtype=P_.dtype) * rowtot
             slot_b = jnp.clip(
                 jnp.sum(cumr < t_slot[:, None], axis=1).astype(jnp.int32),
                 0, nn - 1,
             )
-            isel_b = act_idx[rows_b].clip(0)
-            jsel_b = neigh[rows_b, slot_b].clip(0)
-            jrow_b = abs2act[jsel_b]
+            isel_b = act_idx_[rows_b].clip(0)
+            jsel_b = neigh_[rows_b, slot_b].clip(0)
+            jrow_b = abs2act_[jsel_b]
             ar_b = jnp.concatenate(
                 [jnp.stack([rows_b, jrow_b], 1),
-                 abs2act[neigh[rows_b].clip(0)],
-                 abs2act[neigh[jrow_b].clip(0)]], axis=1)
+                 abs2act_[neigh_[rows_b].clip(0)],
+                 abs2act_[neigh_[jrow_b].clip(0)]], axis=1)
             touch = jnp.any(rows_b[None, :, None] == ar_b[:, None, :], axis=2)
             lower = jnp.tril(jnp.ones((B, B), bool), k=-1)
             conflicted = jnp.any(touch.T & lower, axis=1)
-            ar_P = P[ar_b]
-            ar_nbr = neigh[ar_b]
+            ar_P = P_[ar_b]
+            ar_nbr = neigh_[ar_b]
             kill_b = (
                 (ar_b == rows_b[:, None])[:, :, None]
                 | (ar_b == jrow_b[:, None])[:, :, None]
@@ -158,20 +163,22 @@ def main():
         return acc
 
     # --- full body, exactly K batches (termination gap pinned off) ---
-    def full_chain(key0):
+    def full_chain(element_, charge_, P_, etype_, neigh_, act_idx_,
+                   abs2act_, ln_S_, key0):
         res = run_event_loop_batched(
-            element, charge, P, etype, neigh, key0,
+            element_, charge_, P_, etype_, neigh_, key0,
             1e-30,                      # inv_freq = 1e30: gap test never fires
-            batch=B, max_batches=K, act_idx=act_idx, abs2act=abs2act,
-            ln_S=ln_S, mass_eps=0.03,
+            batch=B, max_batches=K, act_idx=act_idx_, abs2act=abs2act_,
+            ln_S=ln_S_, mass_eps=0.03,
         )
         return res.n_events.astype(jnp.float64)
 
-    key = jax.random.PRNGKey(42)
-    r_clk = bench(jax.jit(clk_chain), "clk        ", key)
-    r_topk = bench(jax.jit(topk_chain), "clk+topk   ", key)
-    r_cand = bench(jax.jit(cand_chain), "..+cand    ", key)
-    r_full = bench(jax.jit(full_chain), "full body  ", key)
+    r_clk = bench(jax.jit(clk_chain), "clk        ", (P, R))
+    r_topk = bench(jax.jit(topk_chain), "clk+topk   ", (P, R))
+    r_cand = bench(jax.jit(cand_chain), "..+cand    ",
+                   (P, R, neigh, act_idx, abs2act))
+    r_full = bench(jax.jit(full_chain), "full body  ",
+                   (element, charge, P, etype, neigh, act_idx, abs2act, ln_S))
 
     print(json.dumps({
         "n_rows": int(n), "nn": int(nn), "B": B, "K": K,

@@ -78,8 +78,11 @@ def main():
     n_int = n - L - R
     dG = high_G - low_G
 
-    # === replicate solve_potential_boundary_dia's operator pieces ===
-    from akmc_tpu.solvers.dia import dia_adj_matvec
+    # === replicate solve_potential_boundary_dia's operator pieces (r05:
+    # the shared-buffer default — fold_cvac_codes + precomputed selects) ===
+    from akmc_tpu.solvers.dia import (
+        dia_adj_matvec, dia_combined_matvec_shared, fold_cvac_codes,
+    )
     cvac = (element == int(ELEM.VACANCY)) & (charge == 0)
     cvac_f = jnp.where(cvac, 1.0, 0.0)
     vdeg = dia_adj_matvec(dia, meta, cvac_f)
@@ -90,12 +93,13 @@ def main():
     rhs = (dia.lsum * (-Vd / 2.0) + dia.rsum * (Vd / 2.0)) * is_int
     inv_diag = jnp.where(is_int, 1.0 / jnp.where(is_int, diag, 1.0), 1.0)
     norm2_rhs = jnp.dot(rhs, rhs)
+    diag_i = jnp.where(is_int, diag, 1.0)
+    dgc = jnp.where(cvac, dG, 0.0)
+    dcodes = fold_cvac_codes(dia, meta, cvac & is_int)
 
     def A(xx):
-        xz = jnp.where(is_int, xx, 0.0)
-        xv = jnp.where(cvac, xz, 0.0)
-        mv, corr = dia_combined_matvec(dia, meta, xz, xv)
-        yy = diag * xz - mv - dG * jnp.where(cvac, corr, 0.0)
+        mv, corr = dia_combined_matvec_shared(dcodes, dia, meta, xx)
+        yy = diag_i * xx - mv - dgc * corr
         return jnp.where(is_int, yy, xx)
 
     rng = np.random.RandomState(0)
@@ -114,10 +118,16 @@ def main():
               + " ".join(f"{t*1e3:.0f}" for t in ts) + " ms)", file=sys.stderr)
         return med / per
 
-    # 1. matvec alone
+    # 1. matvec alone — two-buffer (r04 form) and shared-buffer (r05)
     def mv_chain(x0_):
         def body(i, xc):
             yv, vv = dia_combined_matvec(dia, meta, xc, xc)
+            return yv * (1.0 / (jnp.max(jnp.abs(yv)) + 1.0)) + xc * 1e-3
+        return jax.lax.fori_loop(0, K, body, x0_)
+
+    def mv_shared_chain(x0_):
+        def body(i, xc):
+            yv, vv = dia_combined_matvec_shared(dcodes, dia, meta, xc)
             return yv * (1.0 / (jnp.max(jnp.abs(yv)) + 1.0)) + xc * 1e-3
         return jax.lax.fori_loop(0, K, body, x0_)
 
@@ -178,6 +188,7 @@ def main():
         return c[0]
 
     r_mv = bench(jax.jit(mv_chain), "mv    ")
+    r_mvs = bench(jax.jit(mv_shared_chain), "mv_sh ")
     r_A = bench(jax.jit(A_chain), "A     ")
     r_vec = bench(jax.jit(vec_chain), "vec   ")
     r_body = bench(jax.jit(body_chain), "body  ")
@@ -186,7 +197,8 @@ def main():
     import json
     print(json.dumps({
         "n": int(n), "D": D, "K": K,
-        "ms_mv": r_mv * 1e3, "ms_A": r_A * 1e3, "ms_vec": r_vec * 1e3,
+        "ms_mv": r_mv * 1e3, "ms_mv_shared": r_mvs * 1e3,
+        "ms_A": r_A * 1e3, "ms_vec": r_vec * 1e3,
         "ms_body": r_body * 1e3, "ms_while": r_while * 1e3,
     }))
 
