@@ -91,7 +91,7 @@ def main():
 
     model = VCMModel(p, lat, rate_normalize=True, wkb_f32=args.wkb_f32)
     ct = model.current_tables
-    nc = int(ct.contact_idx.shape[0])
+    nc = int((np.asarray(ct.contact_idx) >= 0).sum())   # live contacts (window padded to 256-multiple)
     print(f"[T system] n_atom={model.n_atom} tunnel: vmax={model.vmax} "
           f"(vacancies {n_vac}) + contacts NC={nc}; "
           f"W_tt {model.vmax}^2 = {model.vmax**2 * 8 / 1e9:.2f} GB f64, "

@@ -109,7 +109,7 @@ def main():
         pair_table_budget=0, pair_tiling_min_n=1,
     )
     ct = model.current_tables
-    nc = int(ct.contact_idx.shape[0])
+    nc = int((np.asarray(ct.contact_idx) >= 0).sum())   # live contacts (window padded to 256-multiple)
     mesh = make_mesh(args.devices)
     shard_model(model, mesh)
     state = make_device_state(lat, p.background_temp)
