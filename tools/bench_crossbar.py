@@ -68,13 +68,16 @@ def main():
     stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
     Vd = 15.0   # 40 nm deck bias
     batched = 0
-    mass_eps = 1e-3
+    eps_list = [1e-3]
     clock_f32 = "--clock-f32" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--batched"):
             batched = int(a.split("=")[1]) if "=" in a else 64
         if a.startswith("--mass-eps"):
-            mass_eps = float(a.split("=")[1])
+            # comma list sweeps several eps in ONE build+warmup (mass_eps is
+            # a TRACED argument — same executable for every value)
+            eps_list = [float(x) for x in a.split("=")[1].split(",")]
+    mass_eps = eps_list[0]
 
     # AOT warmup: compile the fused step AND the event-loop re-entry
     # executable up front (the re-entry compile historically landed as a
@@ -103,25 +106,32 @@ def main():
     key = _jax.random.PRNGKey(7)
     times = []
     steps = []
-    for i in range(n_steps):
-        t0 = time.perf_counter()
-        if batched:
-            state, stats, key = model.superstep_native_batched(
-                state, Vd, key, batch=batched, mass_eps=mass_eps,
-                clock_f32=clock_f32,
-            )
-        else:
-            state, stats = model.superstep(state, Vd, stream)
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        assert stats["n_events"] >= 1, "rates died"
-        steps.append({"step": i, "s": round(dt, 3),
-                      "events": stats["n_events"],
-                      "cg": stats["cg_iterations"],
-                      **({"batches": stats["n_batches"],
-                          "cut_conflict": stats["n_cut_conflict"],
-                          "cut_mass": stats["n_cut_mass"]} if batched else {})})
-        print(f"[step {i}] {steps[-1]}", file=sys.stderr)
+    eps_medians = {}
+    for mass_eps in eps_list:
+        eps_times = []
+        for i in range(n_steps):
+            t0 = time.perf_counter()
+            if batched:
+                state, stats, key = model.superstep_native_batched(
+                    state, Vd, key, batch=batched, mass_eps=mass_eps,
+                    clock_f32=clock_f32,
+                )
+            else:
+                state, stats = model.superstep(state, Vd, stream)
+            dt = time.perf_counter() - t0
+            eps_times.append(dt)
+            assert stats["n_events"] >= 1, "rates died"
+            steps.append({"step": i, "mass_eps": mass_eps,
+                          "s": round(dt, 3),
+                          "events": stats["n_events"],
+                          "cg": stats["cg_iterations"],
+                          **({"batches": stats["n_batches"],
+                              "cut_conflict": stats["n_cut_conflict"],
+                              "cut_mass": stats["n_cut_mass"]}
+                             if batched else {})})
+            print(f"[step {i} eps={mass_eps}] {steps[-1]}", file=sys.stderr)
+        eps_medians[str(mass_eps)] = float(np.median(eps_times))
+        times = eps_times   # headline value = LAST eps in the list
 
     print(
         json.dumps(
@@ -135,6 +145,8 @@ def main():
                     f"batched B={batched} mass_eps={mass_eps}"
                     if batched else "serial"
                 ),
+                "clock_f32": clock_f32,
+                **({"eps_medians": eps_medians} if len(eps_list) > 1 else {}),
                 "pair_plane": "f32" if model.pair_f32 else "f64",
                 "dia_matvec": (
                     "pallas" if getattr(model, "dia_plan", None) is not None
