@@ -1079,6 +1079,7 @@ class VCMModel:
     def superstep_native_batched(
         self, state: DeviceState, Vd: float, key, batch: int = 64,
         mass_eps: float = 1e-3, clock_f32: bool = False,
+        pb_prev2=None, k_extrap: float = 0.0,
     ) -> Tuple[DeviceState, dict, jax.Array]:
         """Production superstep with the multi-event batched loop
         (ops/events.py::run_event_loop_batched): per-batch exponential-race
@@ -1090,12 +1091,23 @@ class VCMModel:
 
         ``mass_eps`` (the killed-mass staleness bound — the one knob that
         trades gap-law exactness for batch amortization) is a TRACED
-        argument: changing it reuses the compiled executable."""
+        argument: changing it reuses the compiled executable.
+
+        ``pb_prev2``/``k_extrap``: optional linear-extrapolation warm start
+        for the K solve — x0 = pb + k_extrap*(pb - pb_prev2). The CG
+        stopping rule is RELATIVE TO ||b|| (jacobi_cg), so a closer x0
+        directly cuts iterations when the boundary potential drifts
+        smoothly across supersteps (filament forming/dissolving); the
+        converged tolerance — hence the physics — is unchanged. Both are
+        traced (k_extrap=0.0 reproduces the plain warm start bit-exactly
+        with the same executable). Callers carry pb_prev2 = the PREVIOUS
+        superstep's potential_boundary."""
         key_in = key
+        pb2 = (state.potential_boundary if pb_prev2 is None else pb_prev2)
         fr, res, diag, key = self._get_batched_jit(batch, clock_f32)(
             self.tables, self.kop, state.element, state.charge,
-            state.potential_boundary, state.T_bg, Vd,
-            float(mass_eps), key,
+            state.potential_boundary, pb2, state.T_bg, Vd,
+            float(mass_eps), float(k_extrap), key,
         )
         d = np.asarray(diag)
         if d[5] != 0.0 or d[6] != 0.0 or d[7] != 0.0:
@@ -1107,7 +1119,8 @@ class VCMModel:
                 self.pair_cand_cap *= 2
             self._invalidate_jits()
             return self.superstep_native_batched(
-                state, Vd, key_in, batch, mass_eps, clock_f32
+                state, Vd, key_in, batch, mass_eps, clock_f32,
+                pb_prev2=pb_prev2, k_extrap=k_extrap,
             )
         new_state = state._replace(
             element=res.element,
@@ -1137,9 +1150,13 @@ class VCMModel:
             self._step_batched_jits = {}
         bkey = (batch, clock_f32)
         if bkey not in self._step_batched_jits:
-            def _step_b(t, bk, element, charge, pb_prev, T_bg, Vd,
-                        mass_eps, key):
-                fr = self._fields(t, bk, element, charge, pb_prev, T_bg, Vd)
+            def _step_b(t, bk, element, charge, pb_prev, pb_prev2, T_bg, Vd,
+                        mass_eps, k_extrap, key):
+                # linear-extrapolation warm start for the K solve (see
+                # superstep_native_batched docstring); k_extrap=0.0 is the
+                # plain warm start, bit-exactly (pb + 0*delta == pb)
+                pb_ws = pb_prev + k_extrap * (pb_prev - pb_prev2)
+                fr = self._fields(t, bk, element, charge, pb_ws, T_bg, Vd)
                 key, sub = jax.random.split(key)
                 P, etype, neigh, zrows = self._loop_arrays(t, fr.P, fr.etype)
                 res = run_event_loop_batched(
@@ -1236,8 +1253,9 @@ class VCMModel:
             _c(f"batched_B{batched}", self._get_batched_jit(
                 batched, batched_clock_f32).lower(
                 t, self.kop, state.element, state.charge,
-                state.potential_boundary, state.T_bg, float(Vd),
-                float(batched_mass_eps), jax.random.PRNGKey(0),
+                state.potential_boundary, state.potential_boundary,
+                state.T_bg, float(Vd),
+                float(batched_mass_eps), 0.0, jax.random.PRNGKey(0),
             ))
         if full_physics:
             if self._step_full_jit is None:

@@ -99,6 +99,7 @@ def run(
     batched_events: int = 0,
     batched_mass_eps: float = 1e-3,
     batched_clock_f32: bool = False,
+    batched_k_extrap: float = 0.0,
     pair_f32: bool = False,
     dia_stacked: bool = False,
     dia_pallas: bool = False,
@@ -209,6 +210,8 @@ def run(
         )
     kmc_stream = BufferedStream(ReferenceRNG(p.rnd_seed_kmc))
     batch_key = jax.random.PRNGKey(p.rnd_seed_kmc) if batched_events else None
+    batched_pb_prev2 = None   # previous superstep's K solution (extrapolated
+    #                           warm start; see superstep_native_batched)
 
     if warmup and p.V_switch and p.perturb_structure and p.solve_potential:
         # AOT-compile the run's executables before the first superstep
@@ -354,10 +357,13 @@ def run(
                 # residence-time loop (threefry stream, not reference-stream
                 # parity; waiting-time staleness bounded by batched_mass_eps
                 # per batch — ops/events.py::run_event_loop_batched)
+                pb_before = state.potential_boundary
                 state, stats, batch_key = model.superstep_native_batched(
                     state, Vd, batch_key, batch=batched_events,
                     mass_eps=batched_mass_eps, clock_f32=batched_clock_f32,
+                    pb_prev2=batched_pb_prev2, k_extrap=batched_k_extrap,
                 )
+                batched_pb_prev2 = pb_before
                 stats_list = [stats]
             elif spd > 1:
                 state, stats_list = model.superstep_multi(
@@ -537,6 +543,13 @@ def main():
              "measured scan in PERF_NOTES round 3)",
     )
     ap.add_argument(
+        "--k-extrap", type=float, default=0.0, metavar="C",
+        help="batched loop: K-solve warm start extrapolation coefficient "
+             "x0 = pb + C*(pb - pb_prev) (CG stops relative to ||b||, so a "
+             "closer x0 cuts iterations; converged physics unchanged; "
+             "0 = plain warm start)",
+    )
+    ap.add_argument(
         "--warmup", action="store_true",
         help="AOT-compile all run executables before the first superstep "
              "(new-scale cold-start bound; persistent-cached afterwards)",
@@ -602,6 +615,7 @@ def main():
         batched_events=args.batched_events,
         batched_mass_eps=args.mass_eps,
         batched_clock_f32=args.clock_f32,
+        batched_k_extrap=args.k_extrap,
         pair_f32=args.pair_f32,
         dia_stacked=args.dia_stacked,
         dia_pallas=args.dia_pallas,

@@ -229,3 +229,53 @@ def test_batched_mass_eps_statistics_stable():
     assert 0.3 <= (ev_loose + 1) / (ev_tight + 1) <= 3.0
     for t in (t_tight, t_loose):
         assert np.isfinite(t) and t > 0.0
+
+
+def test_batched_k_extrap_zero_is_identity_and_nonzero_runs():
+    """K-solve extrapolated warm start (superstep_native_batched pb_prev2/
+    k_extrap): (a) k_extrap=0.0 with any pb_prev2 reproduces the default
+    call BIT-EXACTLY (pb + 0*(pb - pb2) == pb, and it is the same
+    executable); (b) a nonzero coefficient still converges to the same
+    tolerance — trajectories stay physically equivalent (same event count
+    class) because CG stops relative to ||b||, not to x0."""
+    from akmc_tpu.models.crossbar import build_grid_crossbar
+
+    p, lat = build_grid_crossbar(
+        n_yz=8, contact_slices=3, oxide_slices=8, ti_slices=3,
+        defect_fraction=0.2, vacancy_concentration=0.1, seed=5,
+    )
+
+    def run(k_extrap, steps=4, pass_pb2=True):
+        model = VCMModel(
+            p, lat, rate_normalize=True, pair_table_budget=0,
+            pair_tiling_min_n=1,
+        )
+        state = make_device_state(lat, p.background_temp)
+        key = jax.random.PRNGKey(9)
+        pb2 = None
+        ev = 0
+        iters = 0
+        for _ in range(steps):
+            pb_before = state.potential_boundary
+            state, stats, key = model.superstep_native_batched(
+                state, 15.0, key, batch=16, mass_eps=1e-3,
+                pb_prev2=pb2 if pass_pb2 else None, k_extrap=k_extrap,
+            )
+            if pass_pb2:
+                pb2 = pb_before
+            ev += stats["n_events"]
+            iters += stats["cg_iterations"]
+        return ev, iters, np.asarray(state.element), np.asarray(state.kmc_time)
+
+    ev0, it0, el0, t0 = run(0.0, pass_pb2=False)   # default path
+    ev0b, it0b, el0b, t0b = run(0.0, pass_pb2=True)  # pb2 given, coeff 0
+    np.testing.assert_array_equal(el0, el0b)
+    assert ev0 == ev0b and it0 == it0b
+    np.testing.assert_allclose(t0, t0b, rtol=0, atol=0)
+
+    ev1, it1, el1, t1 = run(1.0)
+    # same physics class: the converged fields are tolerance-equal, so the
+    # trajectory may differ only through sub-tolerance fp noise; event
+    # totals stay in the same statistical class
+    assert 0.3 <= (ev1 + 1) / (ev0 + 1) <= 3.0
+    assert np.isfinite(t1) and t1 > 0.0

@@ -70,9 +70,12 @@ def main():
     batched = 0
     eps_list = [1e-3]
     clock_f32 = "--clock-f32" in sys.argv
+    k_extrap = 0.0
     for a in sys.argv[1:]:
         if a.startswith("--batched"):
             batched = int(a.split("=")[1]) if "=" in a else 64
+        if a.startswith("--k-extrap"):
+            k_extrap = float(a.split("=")[1]) if "=" in a else 1.0
         if a.startswith("--mass-eps"):
             # comma list sweeps several eps in ONE build+warmup (mass_eps is
             # a TRACED argument — same executable for every value)
@@ -107,15 +110,19 @@ def main():
     times = []
     steps = []
     eps_medians = {}
+    pb_prev2 = None
     for mass_eps in eps_list:
         eps_times = []
         for i in range(n_steps):
             t0 = time.perf_counter()
             if batched:
+                pb_before = state.potential_boundary
                 state, stats, key = model.superstep_native_batched(
                     state, Vd, key, batch=batched, mass_eps=mass_eps,
-                    clock_f32=clock_f32,
+                    clock_f32=clock_f32, pb_prev2=pb_prev2,
+                    k_extrap=k_extrap,
                 )
+                pb_prev2 = pb_before
             else:
                 state, stats = model.superstep(state, Vd, stream)
             dt = time.perf_counter() - t0
@@ -146,6 +153,7 @@ def main():
                     if batched else "serial"
                 ),
                 "clock_f32": clock_f32,
+                "k_extrap": k_extrap,
                 **({"eps_medians": eps_medians} if len(eps_list) > 1 else {}),
                 "pair_plane": "f32" if model.pair_f32 else "f64",
                 "dia_matvec": (

@@ -60,10 +60,9 @@ def main():
     ref = "/root/reference/structures/5nm_device"
     p = KMCParameters.from_file(os.path.join(ref, "parameters.txt"))
     p.solve_current = True
-    e, x, y, z = read_xyz(os.path.join(ref, p.atom_xyz_file))
-    e2, x2, y2, z2 = read_xyz(os.path.join(ref, p.interstitial_xyz_file))
-    e = np.concatenate([e, e2])
-    x, y, z = np.concatenate([x, x2]), np.concatenate([y, y2]), np.concatenate([z, z2])
+    # the 5 nm deck is a RESTART deck (atom_xyz_file = NA): the structure
+    # comes from restart_xyz_file, same as the golden gate
+    e, x, y, z = read_xyz(os.path.join(ref, p.restart_xyz_file))
     e = make_substoichiometric(e, p.initial_vacancy_concentration,
                                ReferenceRNG(p.rnd_seed))
     lat = build_lattice(e, x, y, z, p, cache_dir=os.path.join(HERE, ".cache"))

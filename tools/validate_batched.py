@@ -72,8 +72,14 @@ def main():
         Vd = 2.0
 
     # ---- 1. trajectory overlays: serial vs batched, matched deck ----------
+    # ONE model shared by every trajectory (a fresh VCMModel per trajectory
+    # device_puts a second copy of the static tables while the first is
+    # still referenced by the previous closure — measured OOM on the 16 GB
+    # chip at the 5 nm deck); state is rebuilt per trajectory.
+    shared_model = VCMModel(p, lat)
+
     def run_traj(mode, mass_eps=1e-3, steps=args.steps, seed=42):
-        model = VCMModel(p, lat)
+        model = shared_model
         state = make_device_state(lat, p.background_temp)
         key = jax.random.PRNGKey(seed)
         vac, times, events = [], [], []
@@ -100,8 +106,25 @@ def main():
     traj_s = time.perf_counter() - t0
     print(f"trajectories done in {traj_s:.1f} s", file=sys.stderr)
 
+    # persist the trajectory half IMMEDIATELY (the KS section compiles a
+    # large vmapped program — a compile failure there must not lose the
+    # 15+ min of trajectory data)
+    os.makedirs(os.path.join(HERE, "artifacts"), exist_ok=True)
+    jpath = os.path.join(HERE, "artifacts", f"batched_validation_{args.deck}.json")
+    partial = {
+        "deck": args.deck, "Vd": Vd, "steps": args.steps,
+        "batch": args.batch, "ks": "pending",
+        "final_vacancies": {k: v["vacancies"][-1] for k, v in traj.items()},
+        "final_kmc_time": {k: v["kmc_time"][-1] for k, v in traj.items()},
+        "total_events": {k: sum(v["events"]) for k, v in traj.items()},
+        "traj": traj,
+    }
+    with open(jpath, "w") as f:
+        json.dump(partial, f, indent=1)
+    print(f"wrote {jpath} (trajectories; KS pending)", file=sys.stderr)
+
     # ---- 2. waiting-time KS table on a frozen fields state ----------------
-    model = VCMModel(p, lat)
+    model = shared_model
     state = make_device_state(lat, p.background_temp)
     t = model.tables
     fr = jax.jit(model._fields)(
@@ -128,9 +151,19 @@ def main():
                 )
                 return r.event_time, r.n_events
 
+        # chunked vmap: one vmap(reps) program over the full 5 nm event
+        # loop exceeds the remote compiler's budget (tpu_compile_helper
+        # exit 1 at reps=512, N=37,650) — 32-wide chunks compile and the
+        # executable is reused across chunks
+        chunk = min(32, args.reps)
+        fn = jax.jit(jax.vmap(one))
         keys = jax.random.split(jax.random.PRNGKey(seed), args.reps)
-        times, counts = jax.jit(jax.vmap(one))(keys)
-        return np.asarray(times), np.asarray(counts)
+        ts, cs = [], []
+        for i in range(0, args.reps, chunk):
+            t_i, c_i = fn(keys[i:i + chunk])
+            ts.append(np.asarray(t_i))
+            cs.append(np.asarray(c_i))
+        return np.concatenate(ts), np.concatenate(cs)
 
     t_ser, c_ser = sample("serial", 0.0, 101)
     ks_table = {}
