@@ -186,6 +186,19 @@ class VCMModel:
                                     # relative coefficient error, Kahan-
                                     # compensated integral; f64 stays the
                                     # default and the oracle path)
+    power_rtol_scale: float = 1.0   # default multiplier on the power-CG
+                                    # relative tolerance. I_macro is an
+                                    # extraction-rail cancellation: where
+                                    # it sits below kappa*rtol resolution
+                                    # (sub-nA low-bias points) the solve
+                                    # must run tighter to make the I-V
+                                    # operator-invariant (probe_lowbias_iv;
+                                    # reference pins the same points with
+                                    # an absolute residual,
+                                    # current_solver_gpu.cu:1455-1456).
+                                    # Passed TRACED per dispatch, so the
+                                    # driver's auto policy changes it
+                                    # without recompiling.
     k_carry_residual: bool = False  # batched path: rebase the warm K
                                     # solve's initial residual from the
                                     # previous superstep's final residual
@@ -1267,6 +1280,7 @@ class VCMModel:
                 t, self.kop, ct, self.power_band, lh, state.element,
                 state.charge, state.potential_boundary, state.cb_edge,
                 state.temperature, state.T_bg, m_prev, float(Vd), rb,
+                jnp.asarray(self.power_rtol_scale, jnp.float64),
             ))
             _c("cb_edge", self._cb_jit.lower(
                 t, state.element, state.charge, state.cb_edge, float(Vd)
@@ -1351,7 +1365,8 @@ class VCMModel:
             W_cc=c(ps.W_cc),
         )
 
-    def _power(self, ct, pband, element, charge, cb_edge, m_prev, Vd):
+    def _power(self, ct, pband, element, charge, cb_edge, m_prev, Vd,
+               rtol_scale=1.0):
         p = self.params
         high_G = p.high_G * 100000          # kmc_main.cpp:294-302 constants
         loop_G = p.high_G * 10000000
@@ -1376,27 +1391,31 @@ class VCMModel:
             band_meta=self._power_band_meta if pband is not None else None,
             cvac=cvac, nn_dist=p.nn_dist,
             lattice=jnp.asarray(np.asarray(p.lattice)), pbc=bool(p.pbc),
+            rtol_scale=rtol_scale,
         )
         n = element.shape[0]
         site_power = jnp.zeros(n, atom_power.dtype).at[ct.atom_ind].set(atom_power)
         v_overflow = jnp.sum(atom_elem == int(ELEM.VACANCY)) > self.vmax
         return I_macro, site_power, m, iters, v_overflow
 
-    def update_power(self, state: DeviceState, Vd: float, m_prev=None):
+    def update_power(self, state: DeviceState, Vd: float, m_prev=None,
+                     rtol_scale=None):
         """Current + dissipated power (+ returns I_macro [A])."""
         ct = self.current_tables
         if self._power_jit is None:
             self._power_jit = jax.jit(self._power)
         if m_prev is None:
             m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
+        if rtol_scale is None:
+            rtol_scale = self.power_rtol_scale
         I_macro, site_power, m, iters, ovf = self._power_jit(
             ct, self.power_band, state.element, state.charge, state.cb_edge,
-            m_prev, Vd,
+            m_prev, Vd, jnp.asarray(rtol_scale, jnp.float64),
         )
         if bool(ovf):
             self.vmax *= 2
             self._invalidate_jits()
-            return self.update_power(state, Vd, m_prev)
+            return self.update_power(state, Vd, m_prev, rtol_scale)
         return state._replace(power=site_power), float(I_macro), m, int(iters)
 
     def update_temperature(self, state: DeviceState, event_time: float) -> DeviceState:
@@ -1536,7 +1555,8 @@ class VCMModel:
         ])
 
     def _step_full(self, t: StaticTables, bk, ct, pband, lh, element, charge,
-                   pb_prev, cb_edge, temperature, T_bg, m_prev, Vd, rand_buf):
+                   pb_prev, cb_edge, temperature, T_bg, m_prev, Vd, rand_buf,
+                   rtol_scale=1.0):
         # lh: LocalHeat tables as a jit ARGUMENT (closed-over arrays bake in
         # as constants — ~600x slower per call through the tunnel,
         # PERF_NOTES); None when solve_heating_local is off
@@ -1545,7 +1565,7 @@ class VCMModel:
 
         # current + dissipated power on THIS superstep's charge
         I_macro, site_power, m_new, pow_iters, pw_ovf = self._power(
-            ct, pband, element, fr.charge, cb_edge, m_prev, Vd
+            ct, pband, element, fr.charge, cb_edge, m_prev, Vd, rtol_scale
         )
 
         P_rep, etype_rep, neigh_rep, zrows_rep = self._loop_arrays(t, fr.P, fr.etype)
@@ -1577,15 +1597,19 @@ class VCMModel:
 
     def superstep_full(
         self, state: DeviceState, Vd: float, stream, m_prev=None,
-        rand_chunk: int = 8192,
+        rand_chunk: int = 8192, rtol_scale=None,
     ) -> Tuple[DeviceState, dict, jax.Array]:
         """Full-physics superstep in one dispatch. Returns
         (state', stats, m_warm) where m_warm warm-starts the next power
-        solve (virtual potentials, unscaled)."""
+        solve (virtual potentials, unscaled). ``rtol_scale`` (traced;
+        default ``self.power_rtol_scale``) tightens the power CG where
+        I_macro is below kappa*rtol resolution."""
         if self._step_full_jit is None:
             self._step_full_jit = jax.jit(self._step_full)
         if m_prev is None:
             m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
+        if rtol_scale is None:
+            rtol_scale = self.power_rtol_scale
         rand_buf = jnp.asarray(stream.peek(rand_chunk))
         ct = self.current_tables
         lh = self.local_heat if self.params.solve_heating_local else None
@@ -1593,6 +1617,7 @@ class VCMModel:
             self.tables, self.kop, ct, self.power_band, lh, state.element,
             state.charge, state.potential_boundary, state.cb_edge,
             state.temperature, state.T_bg, m_prev, Vd, rand_buf,
+            jnp.asarray(rtol_scale, jnp.float64),
         )
         d = np.asarray(diag)
         if d[5] != 0.0 or d[6] != 0.0 or d[11] != 0.0:
@@ -1603,12 +1628,14 @@ class VCMModel:
             if d[11] != 0.0:
                 self.pair_cand_cap *= 2
             self._invalidate_jits()
-            return self.superstep_full(state, Vd, stream, m_prev, rand_chunk)
+            return self.superstep_full(state, Vd, stream, m_prev, rand_chunk,
+                                       rtol_scale)
         if d[3] == 0.0:
             # rand buffer exhausted mid-events: the fused step already folded
             # heat over a partial event time — discard (stream was peeked
             # only) and replay with a larger buffer
-            return self.superstep_full(state, Vd, stream, m_prev, rand_chunk * 4)
+            return self.superstep_full(state, Vd, stream, m_prev,
+                                       rand_chunk * 4, rtol_scale)
         stream.advance(int(d[1]))
         new_state = state._replace(
             element=res.element,
@@ -1633,7 +1660,7 @@ class VCMModel:
 
     def superstep_full_multi(
         self, state: DeviceState, Vd: float, stream, k: int, m_prev=None,
-        rand_chunk: int = 2048,
+        rand_chunk: int = 2048, rtol_scale=None,
     ):
         """k full-physics supersteps per dispatch (lax.scan over _step_full,
         shared rand cursor — same batching contract as superstep_multi)."""
@@ -1641,16 +1668,18 @@ class VCMModel:
 
         if m_prev is None:
             m_prev = jnp.zeros(self.n_atom + 2, jnp.float64)
+        if rtol_scale is None:
+            rtol_scale = self.power_rtol_scale
         key = ("full", k, rand_chunk)
         if key not in self._multi_jits:
             def _multi(t, bk, ct, pband, lh, element, charge, pb, cb, temp,
-                       T_bg, m, Vd, rand_buf):
+                       T_bg, m, Vd, rand_buf, rtol_scale):
                 def body(carry, _):
                     element, charge, pb, pc, temp, T_bg, m, cursor = carry
                     window = lax.dynamic_slice(rand_buf, (cursor,), (rand_chunk,))
                     fr, res, site_power, m, T_bg, temp, diag = self._step_full(
                         t, bk, ct, pband, lh, element, charge, pb, cb, temp,
-                        T_bg, m, Vd, window,
+                        T_bg, m, Vd, window, rtol_scale,
                     )
                     carry = (
                         res.element, res.charge, fr.potential_boundary,
@@ -1678,6 +1707,7 @@ class VCMModel:
             self.tables, self.kop, ct, self.power_band, lh, state.element,
             state.charge, state.potential_boundary, state.cb_edge,
             state.temperature, state.T_bg, m_prev, Vd, rand_buf,
+            jnp.asarray(rtol_scale, jnp.float64),
         )
         d = np.asarray(diag)                     # (k, 12)
         if (
@@ -1689,7 +1719,7 @@ class VCMModel:
             stats_list = []
             for _ in range(k):
                 state, stats, m_prev = self.superstep_full(
-                    state, Vd, stream, m_prev, rand_chunk
+                    state, Vd, stream, m_prev, rand_chunk, rtol_scale
                 )
                 stats_list.append(stats)
             return state, stats_list, m_prev

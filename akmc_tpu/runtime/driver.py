@@ -106,6 +106,7 @@ def run(
     wkb_f32: bool = False,
     warmup: bool = False,
     devices: int = 0,
+    power_rtol_scale="auto",
 ) -> dict:
     """Run the full bias sweep. Returns summary metrics.
 
@@ -261,6 +262,15 @@ def run(
 
     full_physics = p.solve_current and not committed_parity
     m_warm = None   # virtual-potential warm start across supersteps
+    # power-CG tolerance policy: I_macro is an extraction-rail cancellation,
+    # so sub-nA bias points need a tighter solve to be operator-invariant
+    # (probe_lowbias_iv table in PERF_NOTES; the reference pins the same
+    # points with an absolute 1e-30*N_atom residual,
+    # current_solver_gpu.cu:1455-1456). "auto" tightens 100x whenever the
+    # previous superstep's |I_macro| sat below 1 nA; a float fixes the scale.
+    rtol_auto = power_rtol_scale == "auto"
+    rtol_fixed = 1.0 if rtol_auto else float(power_rtol_scale)
+    last_I_macro = None
 
     resume_vt = 0
     resume_steps = 0
@@ -334,15 +344,22 @@ def run(
                 # fused full-physics superstep: charge -> potentials -> power
                 # -> events -> heat, one executable (module order of
                 # kmc_main.cpp:334-508; power sees THIS superstep's charge)
+                rscale = rtol_fixed
+                if (rtol_auto and last_I_macro is not None
+                        and abs(last_I_macro) < 1e-9):
+                    rscale = 1e-2
                 if spd > 1:
                     state, stats_list, m_warm = model.superstep_full_multi(
-                        state, Vd, kmc_stream, k=spd, m_prev=m_warm
+                        state, Vd, kmc_stream, k=spd, m_prev=m_warm,
+                        rtol_scale=rscale,
                     )
                 else:
                     state, stats, m_warm = model.superstep_full(
-                        state, Vd, kmc_stream, m_prev=m_warm
+                        state, Vd, kmc_stream, m_prev=m_warm,
+                        rtol_scale=rscale,
                     )
                     stats_list = [stats]
+                last_I_macro = stats_list[-1].get("I_macro", last_I_macro)
             elif not p.solve_potential:
                 # events on the stale potential (kmc_main.cpp gates every
                 # field module on solve_potential, the event step only on
@@ -581,6 +598,15 @@ def main():
              "f64 stays the default/oracle path)",
     )
     ap.add_argument(
+        "--power-rtol-scale", default="auto", metavar="S",
+        help="full-physics power-CG tolerance multiplier: 'auto' (default) "
+             "tightens 100x whenever the previous superstep's |I_macro| was "
+             "sub-nA — making the low-bias I-V operator-invariant "
+             "(PERF_NOTES round-5 table; reference semantics "
+             "current_solver_gpu.cu:1455-1456) — or a fixed float "
+             "(1.0 = the pre-r05 behavior)",
+    )
+    ap.add_argument(
         "--devices", type=int, default=0, metavar="N",
         help="run the deck sharded over an N-device 1-D `sites` mesh "
              "(row-sharded pair/event tables, replicated field vectors, "
@@ -622,6 +648,7 @@ def main():
         wkb_f32=args.wkb_f32,
         warmup=args.warmup,
         devices=args.devices,
+        power_rtol_scale=args.power_rtol_scale,
     )
     print(f"Total code execution time: {summary['total_time_s']:.6g} s")
 

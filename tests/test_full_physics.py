@@ -170,3 +170,43 @@ def test_heat_global_analytic_limits():
     np.testing.assert_allclose(float(t_inf), expect, rtol=1e-6)
     t_zero = update_temperature_global(T0, power, 0.0, **kwargs)
     np.testing.assert_allclose(float(t_zero), 350.0, rtol=1e-12)
+
+
+def test_power_rtol_scale_threading():
+    """rtol_scale tightens the power CG (more iterations, I pinned) and
+    threads TRACED through update_power / superstep_full — the low-bias
+    operator-invariance lever (PERF_NOTES round 5; reference tolerance
+    semantics current_solver_gpu.cu:1455-1456)."""
+    p, lat = _full_setup()
+    model = VCMModel(p, lat, vmax=64, ne_max=512)
+    state = make_device_state(lat, p.background_temp)
+    Vd = 2.0
+    state = model.update_cb_edge(state, Vd)
+
+    _, I_loose, _, it_loose = model.update_power(state, Vd)
+    _, I_tight, _, it_tight = model.update_power(state, Vd, rtol_scale=1e-4)
+    _, I_tight2, _, _ = model.update_power(state, Vd, rtol_scale=1e-6)
+    assert it_tight > it_loose
+    # tightened solves agree with each other far better than with the loose
+    # one is NOT guaranteed on a well-conditioned toy — but they must agree
+    # to the tolerance they were asked for
+    np.testing.assert_allclose(I_tight, I_tight2, rtol=1e-6)
+    np.testing.assert_allclose(I_loose, I_tight, rtol=1e-3)
+
+    # model default: power_rtol_scale attribute is picked up when the call
+    # site passes nothing
+    model.power_rtol_scale = 1e-4
+    _, I_attr, _, it_attr = model.update_power(state, Vd)
+    assert it_attr == it_tight and I_attr == I_tight
+
+    # traced through the fused superstep (same jit executable for both
+    # scales — the arg is traced, not baked)
+    stream = BufferedStream(ReferenceRNG(1))
+    s1, st1, _ = model.superstep_full(state, Vd, stream, rtol_scale=1.0)
+    stream = BufferedStream(ReferenceRNG(1))
+    s2, st2, _ = model.superstep_full(state, Vd, stream, rtol_scale=1e-4)
+    assert st2["power_cg_iterations"] > st1["power_cg_iterations"]
+    np.testing.assert_allclose(st1["I_macro"], st2["I_macro"], rtol=1e-3)
+    # identical event trajectory: the power tolerance does not feed back
+    # into rates on this deck (heating-global toy uses power only for T_bg)
+    assert st1["n_events"] == st2["n_events"]
