@@ -360,6 +360,8 @@ def run(
                     )
                     stats_list = [stats]
                 last_I_macro = stats_list[-1].get("I_macro", last_I_macro)
+                for st in stats_list:
+                    st["power_rtol_scale"] = rscale   # -> metrics.jsonl
             elif not p.solve_potential:
                 # events on the stale potential (kmc_main.cpp gates every
                 # field module on solve_potential, the event step only on

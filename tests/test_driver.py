@@ -127,6 +127,19 @@ def test_driver_full_physics(tmp_path, monkeypatch):
     )
     assert len(d.powers_mW) == summary["total_steps"]
     assert all(np.isfinite(pw) for pw in d.powers_mW)
+    # auto power-rtol policy is observable in metrics.jsonl: loose on the
+    # first superstep (no I_macro history), tightened 100x after any
+    # sub-nA |I_macro| (toy currents are tiny)
+    import json as _json
+
+    rows = [
+        _json.loads(line)
+        for line in open(tmp_path / "out" / "metrics.jsonl")
+    ]
+    assert rows[0]["power_rtol_scale"] == 1.0
+    for prev, row in zip(rows, rows[1:]):
+        expect = 1e-2 if abs(prev["I_macro"]) < 1e-9 else 1.0
+        assert row["power_rtol_scale"] == expect
 
 
 def test_driver_checkpoint_resume(tmp_path, monkeypatch):
