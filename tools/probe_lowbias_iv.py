@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--vds", default="1,2,3,5")
     ap.add_argument("--scales", default="1,1e-2,1e-4")
+    ap.add_argument("--planes", default="f64,f32,pert",
+                    help="subset of {f64,f32,pert} — resume granularity "
+                         "after tunnel outages")
+    ap.add_argument("--ops", default="band,gather")
     args = ap.parse_args()
 
     import jax
@@ -128,18 +132,25 @@ def main():
 
     vds = [float(v) for v in args.vds.split(",")]
     scales = [float(s) for s in args.scales.split(",")]
+    planes = set(args.planes.split(","))
+    ops = set(args.ops.split(","))
     rows = []
     for Vd in vds:
         st = model.update_cb_edge(state, Vd)
         cb = st.cb_edge
         for f32 in (False, True):
             for pert in ([0.0, 1e-7] if not f32 else [0.0]):
+                plane = "f32" if f32 else ("pert" if pert else "f64")
+                if plane not in planes:
+                    continue
                 t0 = time.perf_counter()
                 ps = build_jit(cb, f32) if not pert else jax.jit(
                     lambda cb_: build_ps(cb_, False, 1e-7))(cb)
                 _ = float(jnp.sum(ps.diag))
                 tb = time.perf_counter() - t0
                 for band in (True, False):
+                    if ("band" if band else "gather") not in ops:
+                        continue
                     for sc in scales:
                         t0 = time.perf_counter()
                         I, _pw, m, iters = solve_jit(ps, Vd, band, sc)
