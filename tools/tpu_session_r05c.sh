@@ -42,4 +42,9 @@ timeout 5400 python tools/bench_crossbar.py 215 6 --batched=64 \
   --mass-eps=0.1 --clock-f32 --pair-f32 --k-extrap=1.0 \
   2>/tmp/r05c_crossbar_kextrap.log | tee BENCH_crossbar_kextrap_r05.json
 
+echo "== 5. crossbar B=128 + k-extrap (batch-count halving A/B) =="
+timeout 5400 python tools/bench_crossbar.py 215 6 --batched=128 \
+  --mass-eps=0.1 --clock-f32 --pair-f32 --k-extrap=1.0 \
+  2>/tmp/r05c_crossbar_b128.log | tee BENCH_crossbar_b128_r05.json
+
 echo "== queue C done =="
